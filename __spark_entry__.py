@@ -1,38 +1,83 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship BM25 top-k over sf0.001 documents.
+queries()         — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()      — DuckDB-equivalent SQL for each query (tables documents,
+                    lineitem, ... are pre-registered views).
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from content_rw_elasticsearch_spark import oracle
+from content_rw_elasticsearch_spark.engine import InMemoryIndex
+from content_rw_elasticsearch_spark.queries import REFERENCE_QUERIES
+
+_INDEX_CACHE: dict[tuple, InMemoryIndex] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> InMemoryIndex:
+    """Build (once per sf_dir) the in-memory index over documents.parquet."""
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = InMemoryIndex.build(
+            docs, text_col="text", doc_col="doc_id", analyzer="simple"
+        )
+    return _INDEX_CACHE[key]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2-term AND BM25 top-10 on sf0.001."""
+    idx = _index_for(spark, "/root/testdata/sf0.001")
+    return idx.search("hash join", k=10, mode="AND")
+
+
+def _bm25_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = REFERENCE_QUERIES[name]
+    idx = _index_for(spark, sf_dir)
+    return idx.search(spec["query"], k=spec["k"], mode=spec["mode"])
+
+
+def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index_for(spark, sf_dir).term_lookup("dup")
+
+
+def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    idx = _index_for(spark, sf_dir)
+    return idx.stats.select("term", "df").orderBy("term")
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    idx = _index_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.n_docs, round(idx.avgdl, 4))], "n_docs long, avgdl double"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in REFERENCE_QUERIES:
+        out[f"bm25_{name}"] = functools.partial(_bm25_query, name)
+    out["index_term_postings"] = _term_postings
+    out["index_term_stats"] = _term_stats
+    out["index_corpus_stats"] = _corpus_stats
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, spec in REFERENCE_QUERIES.items():
+        out[f"bm25_{name}"] = oracle.bm25_topk_sql(
+            spec["query"], k=spec["k"], mode=spec["mode"]
+        )
+    out["index_term_postings"] = oracle.term_postings_sql("dup")
+    out["index_term_stats"] = oracle.term_stats_sql()
+    out["index_corpus_stats"] = oracle.corpus_stats_sql()
+    return out

@@ -1,0 +1,72 @@
+"""Posting-list construction — (term, doc_id, tf) + corpus statistics.
+
+From-scratch replacement for the index build the reference delegates to
+Elasticsearch (reference validates but never builds the index itself:
+/root/reference/pkg/es/service.go:51-106, configs/referenceSchema.json).
+
+Everything here is declarative DataFrame code: tokenize (column expression
+or Arrow UDF) → explode → hash-aggregate. Catalyst provides partial+final
+aggregation (map-side combine) for the tf/df/avgdl aggregations, so the
+explode never shuffles raw token rows at full width — only (term, doc_id)
+pairs post-combine.
+
+Scale notes (100 TB / 10^12 docs):
+  * tf aggregation shuffles on (term, doc_id) — high cardinality, uniform
+    (doc_id spreads every hot term), so no skew at THIS stage.
+  * df/term-stats aggregation shuffles on term alone — hot terms skew; the
+    partial aggregation bounds per-key map output to one row per task, so
+    the reduce side sees ≤ #tasks rows per term. Safe without salting.
+  * doc_len is denormalized into the postings at build time: +1 int column
+    (delta-compresses to ~1 byte) buys query-time freedom from a
+    billion-row join against a doc-length table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import analyzer_column
+
+
+def tokenized(df: DataFrame, text_col: str, doc_col: str, analyzer: str = "simple") -> DataFrame:
+    """(doc_id, tokens array, doc_len). doc_len counts post-analysis tokens."""
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        analyzer_column(text_col, analyzer).alias("tokens"),
+    ).withColumn("doc_len", F.size("tokens"))
+
+
+def build_postings(tok_df: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, doc_len) via explode + hash aggregation.
+
+    groupBy includes doc_len (functionally dependent on doc_id) so it rides
+    the aggregation for free instead of needing a re-join.
+    """
+    return (
+        tok_df.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df) — document frequency per term. Hash agg, partial+final."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+
+def corpus_stats(tok_df: DataFrame) -> CorpusStats:
+    """Global N and avgdl. One tiny aggregate row collected to the driver —
+    these two scalars parameterize every query, the one legitimate collect."""
+    row = tok_df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
