@@ -13,11 +13,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from content_rw_elasticsearch_spark import oracle
+from content_rw_elasticsearch_spark import __version__, oracle
 from content_rw_elasticsearch_spark.engine import InMemoryIndex
+from content_rw_elasticsearch_spark.operators.segments import build_segments
+from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
 from content_rw_elasticsearch_spark.queries import REFERENCE_QUERIES
 
 _INDEX_CACHE: dict[tuple, InMemoryIndex] = {}
+_SEG_CACHE: dict[tuple, SegmentIndex] = {}
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> InMemoryIndex:
@@ -35,6 +38,28 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 2-term AND BM25 top-10 on sf0.001."""
     idx = _index_for(spark, "/root/testdata/sf0.001")
     return idx.search("hash join", k=10, mode="AND")
+
+
+def _segment_index_for(spark: SparkSession, sf_dir: str) -> SegmentIndex:
+    """Build (once per sf_dir+version) the compressed segment index under
+    /tmp and load it. Resumable build — a committed index is reused."""
+    key = (id(spark), sf_dir)
+    if key not in _SEG_CACHE:
+        slug = sf_dir.strip("/").replace("/", "_")
+        out = f"/tmp/spark_graft_segidx_v{__version__}_{slug}"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_segments(
+            docs, out, text_col="text", doc_col="doc_id", analyzer="simple",
+            n_buckets=4, target_block=512, nb_max=64, snapshot_id=sf_dir,
+        )
+        _SEG_CACHE[key] = SegmentIndex.load(spark, out)
+    return _SEG_CACHE[key]
+
+
+def _wand_query(name: str, prune: bool, spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = REFERENCE_QUERIES[name]
+    seg = _segment_index_for(spark, sf_dir)
+    return seg.search(spec["query"], k=spec["k"], mode=spec["mode"], prune=prune)
 
 
 def _bm25_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +90,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in REFERENCE_QUERIES:
         out[f"bm25_{name}"] = functools.partial(_bm25_query, name)
+    # compressed segment store + block-max WAND path (oracle: the same
+    # BM25 SQL — the physical path must be rank-identical to the logical)
+    for name in ("and_two", "single_hot", "or_three", "and_allhot"):
+        out[f"segment_{name}"] = functools.partial(_wand_query, name, False)
+        out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
     out["index_term_postings"] = _term_postings
     out["index_term_stats"] = _term_stats
     out["index_corpus_stats"] = _corpus_stats
@@ -77,6 +107,11 @@ def oracle_sql() -> dict[str, str]:
         out[f"bm25_{name}"] = oracle.bm25_topk_sql(
             spec["query"], k=spec["k"], mode=spec["mode"]
         )
+    for name in ("and_two", "single_hot", "or_three", "and_allhot"):
+        spec = REFERENCE_QUERIES[name]
+        sql = oracle.bm25_topk_sql(spec["query"], k=spec["k"], mode=spec["mode"])
+        out[f"segment_{name}"] = sql
+        out[f"wand_{name}"] = sql
     out["index_term_postings"] = oracle.term_postings_sql("dup")
     out["index_term_stats"] = oracle.term_stats_sql()
     out["index_corpus_stats"] = oracle.corpus_stats_sql()

@@ -1,0 +1,348 @@
+"""Segment store — salted, compressed, resumable posting segments.
+
+From-scratch replacement for the Lucene segment machinery the reference
+delegates to Elasticsearch (SURVEY.md §2.J; shard config it validates:
+/root/reference/configs/referenceSchema.json:4-5). Design:
+
+SALTED BLOCKING (hot-term skew, north_rule). Every posting gets a salt
+``pmod(xxhash64(doc_id), nb_t)`` where ``nb_t`` is a power of two chosen
+from the term's document frequency (df/TARGET_BLOCK, clipped to
+[1, NB_MAX]). Hot terms like `return`/`the` therefore fan out across up to
+NB_MAX independent encode groups — no single reducer ever sees a whole hot
+term — while rare terms stay in one block. Because the salt function is
+THE SAME for every term and the per-term counts are nested powers of two,
+salt classes are ALIGNED across terms: global class g of one term overlaps
+exactly class ``g % nb_t`` of another. That alignment is what turns the
+salt into block-max metadata the query path can prune on (wand.py).
+
+SEGMENT LAYOUT. One parquet row per (term, salt) block:
+    (term, salt, nb, count, max_partial, docs_vb, tfs_vb, dlens_vb)
+- docs_vb: sorted doc_ids, delta + varbyte (codec.py)
+- tfs_vb / dlens_vb: varbyte, aligned with docs_vb
+- max_partial: max over the block of the BM25 tf-normalization factor
+  tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — multiply by query-time idf to get
+  the block's score upper bound (block-max WAND, SURVEY.md §2.F).
+Rows are range-partitioned and sorted by term inside each bucket so
+parquet row-group min/max statistics prune term lookups; buckets
+(``pmod(xxhash64(term), n_buckets)``) prune at directory level.
+
+RESUMABILITY (north_rule). Three committed stages, manifest-written-last:
+  stage 1  staging postings parquet (partitioned by bucket) + stats
+           → _staging_manifest.json
+  stage 2  per-bucket encode jobs → segments/bucket=i/ + manifest_bucket_i
+  stage 3  global index.json (n_docs, avgdl, lineage, bucket manifests)
+A killed build restarts from the last committed manifest: completed
+buckets are skipped (their manifest exists), half-written segment dirs are
+rebuilt. Reference analog: Kafka consumer-group offsets + the schema
+health gate (/root/reference/cmd/content-rw-elasticsearch/main.go:81-86,
+pkg/es/service.go:51-106).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import BM25_B, BM25_K1
+from . import codec
+from . import postings as P
+
+NB_MAX = 256          # global aligned salt classes (power of two)
+TARGET_BLOCK = 4096   # target postings per block
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("salt", IntegerType()),
+        StructField("nb", IntegerType()),
+        StructField("count", LongType()),
+        StructField("max_partial", DoubleType()),
+        StructField("docs_vb", BinaryType()),
+        StructField("tfs_vb", BinaryType()),
+        StructField("dlens_vb", BinaryType()),
+    ]
+)
+
+
+def plan_block_counts(stats: DataFrame, target_block: int = TARGET_BLOCK,
+                      nb_max: int = NB_MAX) -> DataFrame:
+    """(term, df) → (term, df, nb): nb = 2^ceil(log2(df/target)), clipped.
+    Pure columnar expression — the 'hot-term table' of SURVEY.md §4.2."""
+    raw = F.ceil(F.log2(F.greatest(F.lit(1.0), F.col("df") / F.lit(float(target_block)))))
+    # round before the int cast: pow() returns a double and 256.0000000001
+    # would otherwise truncate to a non-power-of-two
+    nb = F.least(F.lit(nb_max), F.round(F.pow(F.lit(2.0), raw)).cast("int"))
+    return stats.withColumn("nb", F.greatest(F.lit(1), nb))
+
+
+def _encode_group_fn(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """applyInPandas group encoder: one (term, salt) group → one segment row.
+    All numpy-vectorized; no per-posting Python."""
+
+    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, salt, nb = key
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
+        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
+        tff = tfs.astype(np.float64)
+        dlf = dls.astype(np.float64)
+        partial = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "salt": [int(salt)],
+                "nb": [int(nb)],
+                "count": [int(doc_ids.size)],
+                "max_partial": [float(partial.max()) if partial.size else 0.0],
+                "docs_vb": [codec.delta_encode(doc_ids)],
+                "tfs_vb": [codec.varbyte_encode(tfs)],
+                "dlens_vb": [codec.varbyte_encode(dls)],
+            }
+        )
+
+    return encode
+
+
+def _write_json_atomic(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # manifest commit is the atomic last step
+
+
+def build_segments(
+    corpus: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    doc_col: str = "doc_id",
+    analyzer: str = "simple",
+    n_buckets: int = 8,
+    target_block: int = TARGET_BLOCK,
+    nb_max: int = NB_MAX,
+    snapshot_id: str = "",
+    overwrite: bool = False,
+) -> dict:
+    """Build (or resume) the segment index at ``out_dir``. Returns the
+    global manifest dict."""
+    spark = corpus.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    index_manifest = os.path.join(out_dir, "index.json")
+    if overwrite and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+    if os.path.exists(index_manifest):
+        with open(index_manifest) as f:
+            return json.load(f)
+
+    staging_manifest = os.path.join(out_dir, "_staging_manifest.json")
+    staging_dir = os.path.join(out_dir, "staging")
+    stats_path = os.path.join(out_dir, "stats.parquet")
+
+    # ---- stage 1: staging postings + stats (skipped if committed) ----
+    if not os.path.exists(staging_manifest):
+        t0 = time.time()
+        tok = P.tokenized(corpus, text_col, doc_col, analyzer)
+        post = P.build_postings(tok).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+        if os.path.exists(staging_dir):
+            shutil.rmtree(staging_dir)  # uncommitted partial write: rebuild
+        post.write.partitionBy("bucket").parquet(staging_dir)
+        staged = spark.read.parquet(staging_dir)
+        plan_block_counts(
+            P.term_stats(staged), target_block, nb_max
+        ).write.mode("overwrite").parquet(stats_path)
+        cs = P.corpus_stats(tok)
+        _write_json_atomic(
+            staging_manifest,
+            {
+                "snapshot_id": snapshot_id,
+                "n_docs": cs.n_docs,
+                "avgdl": cs.avgdl,
+                "n_buckets": n_buckets,
+                "nb_max": nb_max,
+                "target_block": target_block,
+                "analyzer": analyzer,
+                "build_metrics": {"secs": round(time.time() - t0, 3)},
+                "committed": True,
+            },
+        )
+    with open(staging_manifest) as f:
+        stage1 = json.load(f)
+    avgdl = float(stage1["avgdl"]) or 1.0
+
+    # ---- stage 2: per-bucket encode, each bucket commits its manifest ----
+    bucket_manifests = []
+    for i in range(stage1["n_buckets"]):
+        bman_path = os.path.join(out_dir, f"manifest_bucket_{i}.json")
+        seg_dir = os.path.join(out_dir, "segments", f"bucket={i}")
+        if os.path.exists(bman_path):
+            with open(bman_path) as f:
+                bucket_manifests.append(json.load(f))
+            continue
+        t0 = time.time()
+        if os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)  # uncommitted partial write: rebuild
+        staged = spark.read.parquet(staging_dir).filter(F.col("bucket") == i)
+        nbs = spark.read.parquet(stats_path).select("term", "nb")
+        salted = staged.join(F.broadcast(nbs), "term").withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
+        )
+        segs = salted.groupBy("term", "salt", "nb").applyInPandas(
+            _encode_group_fn(avgdl), SEGMENT_SCHEMA
+        )
+        (
+            segs.repartitionByRange(4, "term")
+            .sortWithinPartitions("term", "salt")
+            .write.parquet(seg_dir)
+        )
+        seg_df = spark.read.parquet(seg_dir)
+        row = seg_df.agg(
+            F.count(F.lit(1)).alias("blocks"), F.sum("count").alias("postings")
+        ).collect()[0]
+        bman = {
+            "bucket": i,
+            "snapshot_id": stage1["snapshot_id"],
+            "partition_range": {"bucket": i, "n_buckets": stage1["n_buckets"]},
+            "posting_count": int(row["postings"] or 0),
+            "block_count": int(row["blocks"] or 0),
+            "segment_files": sorted(
+                f for f in os.listdir(seg_dir) if f.endswith(".parquet")
+            ),
+            "build_metrics": {"secs": round(time.time() - t0, 3)},
+            "committed": True,
+        }
+        _write_json_atomic(bman_path, bman)
+        bucket_manifests.append(bman)
+
+    # ---- stage 3: global manifest, committed last ----
+    manifest = {
+        "version": 1,
+        "snapshot_id": stage1["snapshot_id"],
+        "analyzer": stage1["analyzer"],
+        "n_docs": stage1["n_docs"],
+        "avgdl": stage1["avgdl"],
+        "n_buckets": stage1["n_buckets"],
+        "nb_max": stage1["nb_max"],
+        "target_block": stage1["target_block"],
+        "posting_count": sum(m["posting_count"] for m in bucket_manifests),
+        "block_count": sum(m["block_count"] for m in bucket_manifests),
+        "committed": True,
+    }
+    _write_json_atomic(index_manifest, manifest)
+    return manifest
+
+
+def validate_index(spark: SparkSession, out_dir: str) -> dict:
+    """Schema/stats health gate — the analog of the reference's deep-equal
+    schema validation + /__health checks (pkg/es/service.go:51-106,
+    pkg/health/healthcheck.go:44-51). Raises on any invariant violation."""
+    with open(os.path.join(out_dir, "index.json")) as f:
+        manifest = json.load(f)
+    segs = spark.read.parquet(os.path.join(out_dir, "segments"))
+    expect = {f.name for f in SEGMENT_SCHEMA.fields} | {"bucket"}
+    got = set(segs.columns)
+    if got != expect:
+        raise ValueError(f"segment schema drift: {got ^ expect}")
+    agg = segs.agg(
+        F.sum("count").alias("postings"), F.count(F.lit(1)).alias("blocks")
+    ).collect()[0]
+    if int(agg["postings"] or 0) != manifest["posting_count"]:
+        raise ValueError(
+            f"posting count mismatch: {agg['postings']} != {manifest['posting_count']}"
+        )
+    stats = spark.read.parquet(os.path.join(out_dir, "stats.parquet"))
+    df_sum = stats.agg(F.sum("df")).collect()[0][0]
+    if int(df_sum or 0) != manifest["posting_count"]:
+        raise ValueError("sum(df) != posting_count")
+    return manifest
+
+
+def merge_segments(
+    spark: SparkSession, out_dir: str, target_block: int | None = None
+) -> None:
+    """Second-level merge: compact each term's blocks to the smallest
+    power-of-two block count that still meets target_block. Decode → merge
+    (hierarchical: new_salt = old_salt % new_nb, the nesting the aligned
+    salting guarantees) → re-encode; block-max recomputed on the FINAL
+    layout (SURVEY.md §7 hard part 3). Rewrites segments/ + manifests."""
+    with open(os.path.join(out_dir, "index.json")) as f:
+        manifest = json.load(f)
+    tb = target_block or manifest["target_block"]
+    avgdl = float(manifest["avgdl"]) or 1.0
+    seg_path = os.path.join(out_dir, "segments")
+    segs = spark.read.parquet(seg_path)
+
+    def merge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (term,) = key
+        total = int(pdf["count"].sum())
+        new_nb = 1
+        while new_nb * tb < total and new_nb < int(pdf["nb"].max()):
+            new_nb *= 2
+        if new_nb >= int(pdf["nb"].max()):
+            return pdf[[f.name for f in SEGMENT_SCHEMA.fields]]
+        out = []
+        groups: dict[int, list[pd.Series]] = {}
+        for _, row in pdf.iterrows():
+            groups.setdefault(int(row["salt"]) % new_nb, []).append(row)
+        for new_salt, rows in sorted(groups.items()):
+            docs = np.concatenate([codec.delta_decode(r["docs_vb"]) for r in rows])
+            tfs = np.concatenate([codec.varbyte_decode(r["tfs_vb"]) for r in rows])
+            dls = np.concatenate([codec.varbyte_decode(r["dlens_vb"]) for r in rows])
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            tff, dlf = tfs.astype(np.float64), dls.astype(np.float64)
+            partial = tff * (BM25_K1 + 1.0) / (
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dlf / avgdl)
+            )
+            out.append(
+                {
+                    "term": term,
+                    "salt": int(new_salt),
+                    "nb": int(new_nb),
+                    "count": int(docs.size),
+                    "max_partial": float(partial.max()) if partial.size else 0.0,
+                    "docs_vb": codec.delta_encode(docs),
+                    "tfs_vb": codec.varbyte_encode(tfs),
+                    "dlens_vb": codec.varbyte_encode(dls),
+                }
+            )
+        return pd.DataFrame(out)
+
+    merged = segs.groupBy("term").applyInPandas(merge_term, SEGMENT_SCHEMA)
+    merged = merged.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(manifest["n_buckets"])).cast("int")
+    )
+    tmp_path = seg_path + ".merged"
+    (
+        merged.repartitionByRange(4, "term")
+        .sortWithinPartitions("term", "salt")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(tmp_path)
+    )
+    shutil.rmtree(seg_path)
+    os.replace(tmp_path, seg_path)
+    new_blocks = spark.read.parquet(seg_path).count()
+    manifest["block_count"] = int(new_blocks)
+    manifest["merged"] = True
+    _write_json_atomic(os.path.join(out_dir, "index.json"), manifest)
