@@ -17,6 +17,8 @@ from content_rw_elasticsearch_spark import __version__, oracle
 from content_rw_elasticsearch_spark.engine import InMemoryIndex
 from content_rw_elasticsearch_spark.operators.segments import build_segments
 from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+from content_rw_elasticsearch_spark.plans import index_model as IM
+from content_rw_elasticsearch_spark.plans import relational as R
 from content_rw_elasticsearch_spark.queries import REFERENCE_QUERIES
 
 _INDEX_CACHE: dict[tuple, InMemoryIndex] = {}
@@ -98,6 +100,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["index_term_postings"] = _term_postings
     out["index_term_stats"] = _term_stats
     out["index_corpus_stats"] = _corpus_stats
+    # IndexModel ETL (reference pkg/mapper + pkg/message parity, SURVEY §2.B/C/E)
+    out["etl_index_model"] = lambda s, d: IM.to_index_model(
+        IM.enriched_from_documents(s, d)).orderBy("uuid")
+    out["etl_delete_set"] = lambda s, d: IM.delete_set(IM.enriched_from_documents(s, d))
+    out["etl_routing_counts"] = lambda s, d: IM.routing_counts(
+        IM.enriched_from_documents(s, d))
+    out["etl_people_buckets"] = lambda s, d: IM.annotation_buckets(
+        IM.annotations_from_documents(s, d), "PERSON", "cmr_people")
+    out["etl_topic_buckets"] = lambda s, d: IM.annotation_buckets(
+        IM.annotations_from_documents(s, d), "TOPIC", "cmr_topics")
+    out["etl_primary_theme"] = lambda s, d: IM.primary_theme(
+        IM.annotations_from_documents(s, d))
+    # relational operator plans (SURVEY §2.D/F/H + A2)
+    out["join_region_revenue"] = R.region_revenue
+    out["window_top3_orders"] = R.top3_orders_per_customer
+    out["events_json_extract"] = R.events_json_extract
+    out["upsert_last_writer_wins"] = R.last_writer_wins
+    out["antijoin_unmatched_lookups"] = R.unmatched_lookups
     return out
 
 
@@ -115,4 +135,15 @@ def oracle_sql() -> dict[str, str]:
     out["index_term_postings"] = oracle.term_postings_sql("dup")
     out["index_term_stats"] = oracle.term_stats_sql()
     out["index_corpus_stats"] = oracle.corpus_stats_sql()
+    out["etl_index_model"] = oracle.index_model_sql()
+    out["etl_delete_set"] = oracle.delete_set_sql()
+    out["etl_routing_counts"] = oracle.routing_counts_sql()
+    out["etl_people_buckets"] = oracle.annotation_buckets_sql("PERSON", "cmr_people")
+    out["etl_topic_buckets"] = oracle.annotation_buckets_sql("TOPIC", "cmr_topics")
+    out["etl_primary_theme"] = oracle.primary_theme_sql()
+    out["join_region_revenue"] = R.region_revenue_sql()
+    out["window_top3_orders"] = R.top3_orders_per_customer_sql()
+    out["events_json_extract"] = R.events_json_extract_sql()
+    out["upsert_last_writer_wins"] = R.last_writer_wins_sql()
+    out["antijoin_unmatched_lookups"] = R.unmatched_lookups_sql()
     return out

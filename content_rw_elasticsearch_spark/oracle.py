@@ -84,6 +84,143 @@ HAVING count(*) >= {min_df} ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# IndexModel ETL oracles (plans/index_model.py counterparts)
+# ---------------------------------------------------------------------------
+
+ENRICHED_CTE = """
+enriched AS (
+  SELECT doc_id, text,
+         md5(CAST(doc_id AS VARCHAR)) AS uuid,
+         CASE WHEN doc_id % 53 = 0 THEN 'SYNTHETIC-REQ-MON' || CAST(doc_id AS VARCHAR)
+              ELSE 'tid_' || CAST(doc_id AS VARCHAR) END AS tid,
+         list_extract(['Article','Video','MediaResource','Audio','ContentPackage','Weird',''],
+                      CAST(doc_id % 7 + 1 AS INT)) AS type,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
+         CASE WHEN doc_id % 11 = 0 THEN '' ELSE '<p>' || text || '</p>' END AS body,
+         CASE WHEN doc_id % 11 = 0
+              THEN '<body><script type="x">junk</script>' || text
+                   || '&nbsp;[caption id="a"]cap[/caption] embed1</body>'
+              ELSE '' END AS body_xml,
+         strftime(TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id),
+                  '%Y-%m-%dT%H:%M:%S') || '.000Z' AS published_date,
+         doc_id % 97 = 0 AS marked_deleted
+  FROM documents
+)
+"""
+
+ANN_CTE = ENRICHED_CTE.rstrip() + """,
+ann AS (
+  SELECT uuid, pos AS ann_pos,
+         list_extract(string_split(text, ' '), pos * 3) AS concept_id,
+         list_extract(['about','mentions','isClassifiedBy','hasDisplayTag','majorMentions'],
+                      CAST((doc_id + pos) % 5 + 1 AS INT)) AS predicate,
+         list_extract(['PERSON','ORGANISATION','LOCATION','TOPIC','GENRE','BRAND'],
+                      CAST((doc_id * pos) % 6 + 1 AS INT)) AS concept_type
+  FROM enriched, (SELECT unnest([1, 2, 3]) AS pos)
+  WHERE list_extract(string_split(text, ' '), pos * 3) IS NOT NULL
+    AND list_extract(string_split(text, ' '), pos * 3) <> ''
+)
+"""
+
+
+def _html_chain_sql(expr: str) -> str:
+    """Replay functions/textfns.html_text_chain in DuckDB SQL, from the
+    SAME shared pattern constants (they cannot drift)."""
+    from .functions.textfns import CHAIN_REGEX_STAGES, ENTITY_REPLACEMENTS
+
+    stages = {n: (p, r) for n, p, r in CHAIN_REGEX_STAGES}
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    e = expr
+    for name in ("interactive_graphics", "pull_tags"):
+        p, r = stages[name]
+        e = f"regexp_replace({e}, '{q(p)}', '{q(r)}', 'g')"
+    for old, new in ENTITY_REPLACEMENTS:
+        e = f"replace({e}, '{q(old)}', '{q(new)}')"
+    for name in ("script_tags", "all_tags", "embeds", "captions", "whitespace"):
+        p, r = stages[name]
+        e = f"regexp_replace({e}, '{q(p)}', '{q(r)}', 'g')"
+    return f"trim({e})"
+
+
+_INDEX_MODEL_BODY = """
+SELECT uuid,
+       CASE content_type WHEN 'article' THEN 'FTCom' WHEN 'video' THEN 'FTVideos'
+            WHEN 'audio' THEN 'FTAudios' END AS collection,
+       content_type, title,
+       {clean_body} AS clean_body,
+       'https://www.ft.com/content/' || uuid AS web_url,
+       'http://api.ft.com/content/' || uuid AS api_url,
+       published_date,
+       '{index_date}' AS index_date
+FROM (
+  SELECT *,
+         CASE type WHEN 'Article' THEN 'article' WHEN 'Video' THEN 'video'
+              WHEN 'MediaResource' THEN 'video' WHEN 'Audio' THEN 'audio'
+              WHEN 'ContentPackage' THEN 'article' ELSE '' END AS content_type,
+         CASE WHEN body = '' THEN body_xml ELSE body END AS body2
+  FROM enriched
+  WHERE tid NOT LIKE 'SYNTHETIC-REQ-MON%'
+    AND NOT marked_deleted
+    AND type IN ('Article','Video','MediaResource','Audio','ContentPackage','')
+)
+WHERE uuid <> '' AND content_type <> ''
+"""
+
+
+def index_model_sql(index_date: str = "2026-01-01T00:00:00.000Z") -> str:
+    body = _INDEX_MODEL_BODY.format(
+        clean_body=_html_chain_sql("body2"), index_date=index_date
+    )
+    return f"WITH {ENRICHED_CTE} {body} ORDER BY uuid"
+
+
+def delete_set_sql() -> str:
+    return f"""
+WITH {ENRICHED_CTE}
+SELECT uuid FROM enriched
+WHERE tid NOT LIKE 'SYNTHETIC-REQ-MON%' AND marked_deleted
+ORDER BY uuid
+"""
+
+
+def routing_counts_sql() -> str:
+    body = _INDEX_MODEL_BODY.format(clean_body="''", index_date="x")
+    return f"""
+WITH {ENRICHED_CTE}
+SELECT collection, count(*)::BIGINT AS n FROM ({body}) GROUP BY collection ORDER BY collection
+"""
+
+
+def annotation_buckets_sql(concept_type: str, out_col: str) -> str:
+    return f"""
+WITH {ANN_CTE},
+fp AS (
+  SELECT uuid, concept_id, min(ann_pos) AS p
+  FROM ann
+  WHERE predicate NOT IN ('mentions','hasDisplayTag')
+    AND concept_type = '{concept_type}'
+  GROUP BY uuid, concept_id
+)
+SELECT uuid, list(concept_id ORDER BY p, concept_id) AS {out_col}
+FROM fp GROUP BY uuid ORDER BY uuid
+"""
+
+
+def primary_theme_sql() -> str:
+    return f"""
+WITH {ANN_CTE}
+SELECT uuid, concept_id AS cmr_primarytheme
+FROM ann
+WHERE predicate = 'about'
+QUALIFY row_number() OVER (PARTITION BY uuid ORDER BY ann_pos) = 1
+ORDER BY uuid
+"""
+
+
 def corpus_stats_sql() -> str:
     return f"""
 WITH {TOKENS_CTE}
