@@ -17,9 +17,17 @@ from content_rw_elasticsearch_spark import __version__, oracle
 from content_rw_elasticsearch_spark.engine import InMemoryIndex
 from content_rw_elasticsearch_spark.operators.segments import build_segments
 from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+from content_rw_elasticsearch_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from content_rw_elasticsearch_spark.plans import index_model as IM
 from content_rw_elasticsearch_spark.plans import relational as R
 from content_rw_elasticsearch_spark.queries import REFERENCE_QUERIES
+
+ANN_QUERY_IDS = [0, 7, 42, 99, 123]
 
 _INDEX_CACHE: dict[tuple, InMemoryIndex] = {}
 _SEG_CACHE: dict[tuple, SegmentIndex] = {}
@@ -118,6 +126,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_json_extract"] = R.events_json_extract
     out["upsert_last_writer_wins"] = R.last_writer_wins
     out["antijoin_unmatched_lookups"] = R.unmatched_lookups
+
+    # training-data pipeline operators
+    def _docs(s, d):
+        return s.read.parquet(f"{d}/documents.parquet")
+
+    def _emb(s, d):
+        return s.read.parquet(f"{d}/embeddings.parquet")
+
+    out["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d), "text", "doc_id")
+    out["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs(s, d), "text", "doc_id", n=3, tau=0.8)
+    out["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_dedup(
+        _docs(s, d), "text", "doc_id", n=3, tau=0.8)
+    out["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
+        _docs(s, d), "text", "doc_id", max_hamming=3)  # rows-only (no SQL)
+    out["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        s, _emb(s, d), ANN_QUERY_IDS, k=5)
+    out["sim_ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(
+        s, _emb(s, d), ANN_QUERY_IDS, k=5)
+    out["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "text", "doc_id")
+    out["text_quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "text", "doc_id")
+    out["text_language_id"] = lambda s, d: textstats.language_id(_docs(s, d), "text", "doc_id")
+    out["text_fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "text", "doc_id")
+    out["multimodal_metadata"] = lambda s, d: multimodal.media_metadata(
+        multimodal.media_from_documents(_docs(s, d)))
     return out
 
 
@@ -146,4 +179,17 @@ def oracle_sql() -> dict[str, str]:
     out["events_json_extract"] = R.events_json_extract_sql()
     out["upsert_last_writer_wins"] = R.last_writer_wins_sql()
     out["antijoin_unmatched_lookups"] = R.unmatched_lookups_sql()
+    out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
+    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
+    # LSH+verify must equal the exact-join result (recall caveat in docstring)
+    out["dedup_minhash_lsh"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
+    # dedup_simhash: intentionally no oracle — signature algebra is not
+    # SQL-expressible; driver records the weaker rows-only check
+    out["sim_cosine_topk"] = similarity.cosine_topk_sql(ANN_QUERY_IDS, k=5)
+    out["sim_ann_lsh_topk"] = similarity.ann_lsh_topk_sql(64, ANN_QUERY_IDS, k=5)
+    out["text_token_counts"] = textstats.token_counts_sql()
+    out["text_quality_scores"] = textstats.quality_scores_sql()
+    out["text_language_id"] = textstats.language_id_sql()
+    out["text_fingerprints"] = textstats.fingerprints_sql()
+    out["multimodal_metadata"] = multimodal.media_metadata_sql()
     return out

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH (random-hyperplane)
+bucketed search as the scale path. Both are pure columnar expressions —
+the dot products run in whole-stage codegen via zip_with/aggregate, no
+Python in the hot path.
+
+Scale notes: brute force is O(Q·N) — fine when Q (the query set) is small
+and broadcast; the LSH variant prunes N to one bucket per query
+(approximate recall, exact precision within the bucket). The hyperplanes
+are deterministic literals (seeded numpy on the driver), so the DuckDB
+oracle replays bucketing and scoring exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ROUND = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    spark: SparkSession, emb: DataFrame, query_ids: list[int], k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for each query vector (self
+    excluded). Output: (query_id, neighbor_id, cos) with deterministic
+    (cos desc, neighbor_id asc) ranking on the rounded score."""
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = base.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, ROUND).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_topk_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+               {ROUND}) AS cos
+  FROM base b CROSS JOIN q
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, tiny, literal-izable)."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(w) for w in p])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    spark: SparkSession, emb: DataFrame, query_ids: list[int], k: int = 5,
+    n_planes: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH buckets; each query searches
+    ONLY its own bucket (recall < 1 by design; precision exact). At scale
+    the bucket column is a partition/cluster key, so a query touches one
+    partition instead of N."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", _bucket_expr(F.col("v"), planes))
+    q = base.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, ROUND).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_topk_sql(
+    dim: int, query_ids: list[int], k: int = 5, n_planes: int = 8, seed: int = 42
+) -> str:
+    """Oracle replay: identical literal hyperplanes → identical buckets."""
+    planes = hyperplanes(dim, n_planes, seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM bucketed WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+               {ROUND}) AS cos
+  FROM bucketed b JOIN q ON b.bucket = q.qbucket
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,185 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure columnar expressions (split/regexp/array higher-order functions)
+— zero Python per row — and every operator has an exact DuckDB oracle
+builder next to it (shared literal constants, can't drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import tokens_simple
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic;
+# priority order breaks ties deterministically (en > es > de > fr)
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "in", "is", "for", "a"]),
+    ("es", ["el", "la", "de", "que", "y", "en", "los", "se"]),
+    ("de", ["der", "die", "und", "das", "ist", "von", "mit", "den"]),
+    ("fr", ["le", "la", "de", "et", "les", "des", "un", "est"]),
+]
+
+STOPWORDS_EN = LANG_PROFILES[0][1]
+# BPE-ish token regex: word pieces OR single non-space symbols
+BPE_REGEX = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(df: DataFrame, text_col: str, doc_col: str) -> DataFrame:
+    """Whitespace tokens, analyzer tokens, and BPE-ish regex tokens."""
+    lower = F.lower(F.col(text_col))
+    ws = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit("")))
+    simple = F.size(tokens_simple(text_col))
+    bpeish = F.size(F.regexp_extract_all(lower, F.lit(BPE_REGEX), 0))
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        simple.alias("simple_tokens"),
+        bpeish.alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS ws_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::INT AS simple_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_REGEX}'))::INT AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_scores(df: DataFrame, text_col: str, doc_col: str) -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean token length — the standard cheap pre-filters for corpus
+    curation. Ratios rounded for cross-engine comparison."""
+    lower = F.lower(F.col(text_col))
+    toks = tokens_simple(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(lower) - F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS_EN])))
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)).cast("double"), 4).alias("stopword_distinct_ratio"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+def quality_scores_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text)::INT AS n_chars,
+       len(toks)::INT AS n_tokens,
+       round((length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+             * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(list_intersect(toks, [{stop}])) * 1.0 / greatest(len(toks), 1), 4) AS stopword_distinct_ratio,
+       round(CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END, 4) AS mean_token_len
+FROM t ORDER BY doc_id
+"""
+
+
+def language_id(df: DataFrame, text_col: str, doc_col: str) -> DataFrame:
+    """Stopword-profile language ID: count distinct profile hits per
+    language, argmax with fixed priority tiebreak; 'und' when no hits."""
+    toks = tokens_simple(text_col)
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES
+    }
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    best = F.greatest(en, es, de, fr)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        F.col(doc_col).alias("doc_id"), pred.alias("pred_lang"),
+        en.alias("hits_en"), es.alias("hits_es"),
+        de.alias("hits_de"), fr.alias("hits_fr"),
+    ).orderBy("doc_id")
+
+
+def language_id_sql() -> str:
+    prof = {lang: ", ".join(f"'{w}'" for w in words) for lang, words in LANG_PROFILES}
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         len(list_intersect(toks, [{prof['en']}]))::INT AS hits_en,
+         len(list_intersect(toks, [{prof['es']}]))::INT AS hits_es,
+         len(list_intersect(toks, [{prof['de']}]))::INT AS hits_de,
+         len(list_intersect(toks, [{prof['fr']}]))::INT AS hits_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+            WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+            WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       hits_en, hits_es, hits_de, hits_fr
+FROM h ORDER BY doc_id
+"""
+
+
+def fingerprints(df: DataFrame, text_col: str, doc_col: str, n: int = 3) -> DataFrame:
+    """Two document fingerprints:
+    * sorted-token fingerprint — md5 over the sorted distinct token set
+      (bag-of-words identity; catches shuffled near-identical docs);
+    * min-shingle fingerprint — lexicographic min of md5(shingle) over
+      word n-grams (a 1-hash MinHash; the rolling-hash/winnowing analog
+      expressible natively in both engines)."""
+    toks = tokens_simple(text_col)
+    sorted_fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    min_sh = F.array_min(shingles)
+    return df.select(
+        F.col(doc_col).alias("doc_id"),
+        sorted_fp.alias("sorted_token_fp"),
+        min_sh.alias("min_shingle_fp"),
+    ).orderBy("doc_id")
+
+
+def fingerprints_sql(n: int = 3) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS sorted_token_fp,
+       list_min(list_transform(
+         range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+         i -> md5(array_to_string(toks[i:i+{n - 1}], ' '))
+       )) AS min_shingle_fp
+FROM t ORDER BY doc_id
+"""

@@ -1,0 +1,162 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from content_rw_elasticsearch_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/embeddings.parquet").persist()
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, "aa bb"), (4, "aa bb"), (5, "ee")],
+        "doc_id long, text string",
+    )
+    rows = dedup.exact_dup_groups(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 3 and rows[0]["keep_doc_id"] == 1
+
+
+def test_jaccard_matches_python_oracle(spark):
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "completely different words entirely here now",
+        4: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.5).collect()}
+
+    def sh(t):
+        toks = t.split()
+        m = max(len(toks) - 2, 1)
+        return {" ".join(toks[i:i + 3]) for i in range(m)}
+
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh(texts[a]) & sh(texts[b]))
+            if inter:
+                j = round(inter / len(sh(texts[a]) | sh(texts[b])), 4)
+                if j >= 0.5:
+                    expect[(a, b)] = j
+    assert got == expect
+    assert got[(1, 4)] == 1.0
+
+
+def test_minhash_lsh_equals_exact(docs_df):
+    exact = {(r["d1"], r["d2"], r["jaccard"]) for r in
+             dedup.ngram_jaccard_pairs(docs_df, "text", "doc_id", 3, 0.8).collect()}
+    lsh = {(r["d1"], r["d2"], r["jaccard"]) for r in
+           dedup.minhash_lsh_dedup(docs_df, "text", "doc_id", 3, 0.8).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_properties(spark, docs_df):
+    pairs = dedup.simhash_pairs(docs_df, "text", "doc_id", max_hamming=3).collect()
+    assert all(r["d1"] < r["d2"] and r["hamming"] <= 3 for r in pairs)
+    # identical texts → identical fingerprint → hamming 0
+    df = spark.createDataFrame(
+        [(1, "same words here exactly"), (2, "same words here exactly")],
+        "doc_id long, text string",
+    )
+    r = dedup.simhash_pairs(df, "text", "doc_id", 0).collect()
+    assert [(r[0]["d1"], r[0]["d2"], r[0]["hamming"])] == [(1, 2, 0)]
+
+
+def test_cosine_topk_vs_numpy(spark, emb_df):
+    qids = [0, 7]
+    got = similarity.cosine_topk(spark, emb_df, qids, k=5).collect()
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb_df.collect()}
+    for qid in qids:
+        qv = rows[qid]
+        scored = []
+        for vid, v in rows.items():
+            if vid == qid:
+                continue
+            cos = round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 4)
+            scored.append((vid, cos))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expect = scored[:5]
+        mine = [(r["neighbor_id"], r["cos"]) for r in got if r["query_id"] == qid]
+        assert mine == expect
+
+
+def test_ann_lsh_subset_of_bruteforce_bucket(spark, emb_df):
+    """ANN results are exact within the bucket: every returned neighbor's
+    cos matches brute force, ranks are bucket-local."""
+    qids = [0, 7, 42]
+    ann = similarity.ann_lsh_topk(spark, emb_df, qids, k=5).collect()
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos"]
+             for r in similarity.cosine_topk(spark, emb_df, qids, k=500).collect()}
+    assert len(ann) > 0
+    for r in ann:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and of course"),
+            (2, "el perro de la casa y los gatos que se"),
+            (3, "der hund und die katze ist von dem haus mit den"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in
+           textstats.language_id(df, "text", "doc_id").collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_token_counts_and_fingerprints(spark):
+    df = spark.createDataFrame([(1, "Hello, world! hello")], "doc_id long, text string")
+    tc = textstats.token_counts(df, "text", "doc_id").collect()[0]
+    assert tc["ws_tokens"] == 3 and tc["simple_tokens"] == 3
+    assert tc["bpe_tokens"] == 5  # hello , world ! hello
+    fp1 = textstats.fingerprints(df, "text", "doc_id").collect()[0]
+    df2 = spark.createDataFrame([(1, "world hello HELLO!")], "doc_id long, text string")
+    fp2 = textstats.fingerprints(df2, "text", "doc_id").collect()[0]
+    assert fp1["sorted_token_fp"] == fp2["sorted_token_fp"]  # bag-of-words identity
+
+
+def test_multimodal_plumbing(docs_df):
+    media = multimodal.media_from_documents(docs_df)
+    feats = multimodal.extract_features(media, deterministic_fake=True)
+    rows = feats.limit(5).collect()
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    for r in rows:
+        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+        assert r["media_type"] in ("image", "audio", "video")
+    # the non-fake path must fail loudly, not silently fake
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(media, deterministic_fake=False).collect()
+
+
+def test_multimodal_payload_sha_invariant(docs_df):
+    """Binary payloads survive the columnar path byte-identically."""
+    media = multimodal.media_from_documents(docs_df).limit(20)
+    import hashlib
+    for r in media.collect():
+        assert hashlib.sha256(bytes(r["payload"])).hexdigest() == r["payload_sha"]
