@@ -19,9 +19,12 @@ SEGMENT LAYOUT. One parquet row per (term, salt) block:
     (term, salt, nb, count, max_partial, docs_vb, tfs_vb, dlens_vb)
 - docs_vb: sorted doc_ids, delta + varbyte (codec.py)
 - tfs_vb / dlens_vb: varbyte, aligned with docs_vb
-- max_partial: max over the block of the BM25 tf-normalization factor
-  tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — multiply by query-time idf to get
-  the block's score upper bound (block-max WAND, SURVEY.md §2.F).
+- max_tf / min_dl: block-max metadata (block-max WAND, SURVEY.md §2.F).
+  The BM25 tf-normalization factor tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+  is increasing in tf and decreasing in dl, so partial(max_tf, min_dl)
+  evaluated with the QUERY-TIME avgdl is a safe upper bound for every
+  posting in the block — even after incremental deltas shift avgdl
+  (a baked-in build-time bound would not be).
 Rows are range-partitioned and sorted by term inside each bucket so
 parquet row-group min/max statistics prune term lookups; buckets
 (``pmod(xxhash64(term), n_buckets)``) prune at directory level.
@@ -52,7 +55,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
-    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -60,7 +62,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .. import BM25_B, BM25_K1
 from . import codec
 from . import postings as P
 
@@ -73,11 +74,19 @@ SEGMENT_SCHEMA = StructType(
         StructField("salt", IntegerType()),
         StructField("nb", IntegerType()),
         StructField("count", LongType()),
-        StructField("max_partial", DoubleType()),
+        StructField("max_tf", LongType()),
+        StructField("min_dl", LongType()),
         StructField("docs_vb", BinaryType()),
         StructField("tfs_vb", BinaryType()),
         StructField("dlens_vb", BinaryType()),
     ]
+)
+
+# on-disk layout including the bucket partition column; used for explicit-
+# schema reads so EMPTY delta segment dirs (delete-only batches) stay
+# readable (schema inference has no files to look at there)
+SEGMENT_READ_SCHEMA = StructType(
+    list(SEGMENT_SCHEMA.fields) + [StructField("bucket", IntegerType())]
 )
 
 
@@ -92,7 +101,7 @@ def plan_block_counts(stats: DataFrame, target_block: int = TARGET_BLOCK,
     return stats.withColumn("nb", F.greatest(F.lit(1), nb))
 
 
-def _encode_group_fn(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+def _encode_group_fn():
     """applyInPandas group encoder: one (term, salt) group → one segment row.
     All numpy-vectorized; no per-posting Python."""
 
@@ -103,16 +112,14 @@ def _encode_group_fn(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
         doc_ids = doc_ids[order]
         tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
         dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
-        tff = tfs.astype(np.float64)
-        dlf = dls.astype(np.float64)
-        partial = tff * (k1 + 1.0) / (tff + k1 * (1.0 - b + b * dlf / avgdl))
         return pd.DataFrame(
             {
                 "term": [term],
                 "salt": [int(salt)],
                 "nb": [int(nb)],
                 "count": [int(doc_ids.size)],
-                "max_partial": [float(partial.max()) if partial.size else 0.0],
+                "max_tf": [int(tfs.max()) if tfs.size else 0],
+                "min_dl": [int(dls.min()) if dls.size else 1],
                 "docs_vb": [codec.delta_encode(doc_ids)],
                 "tfs_vb": [codec.varbyte_encode(tfs)],
                 "dlens_vb": [codec.varbyte_encode(dls)],
@@ -171,6 +178,12 @@ def build_segments(
         plan_block_counts(
             P.term_stats(staged), target_block, nb_max
         ).write.mode("overwrite").parquet(stats_path)
+        # docs table: exact N/avgdl bookkeeping, updated by deltas (gen 0)
+        tok.select("doc_id", "doc_len").withColumn(
+            "gen", F.lit(0)
+        ).withColumn("deleted", F.lit(False)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "docs")
+        )
         cs = P.corpus_stats(tok)
         _write_json_atomic(
             staging_manifest,
@@ -188,7 +201,6 @@ def build_segments(
         )
     with open(staging_manifest) as f:
         stage1 = json.load(f)
-    avgdl = float(stage1["avgdl"]) or 1.0
 
     # ---- stage 2: per-bucket encode, each bucket commits its manifest ----
     bucket_manifests = []
@@ -208,7 +220,7 @@ def build_segments(
             "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
         )
         segs = salted.groupBy("term", "salt", "nb").applyInPandas(
-            _encode_group_fn(avgdl), SEGMENT_SCHEMA
+            _encode_group_fn(), SEGMENT_SCHEMA
         )
         (
             segs.repartitionByRange(4, "term")
@@ -288,7 +300,6 @@ def merge_segments(
     with open(os.path.join(out_dir, "index.json")) as f:
         manifest = json.load(f)
     tb = target_block or manifest["target_block"]
-    avgdl = float(manifest["avgdl"]) or 1.0
     seg_path = os.path.join(out_dir, "segments")
     segs = spark.read.parquet(seg_path)
 
@@ -310,17 +321,14 @@ def merge_segments(
             dls = np.concatenate([codec.varbyte_decode(r["dlens_vb"]) for r in rows])
             order = np.argsort(docs, kind="stable")
             docs, tfs, dls = docs[order], tfs[order], dls[order]
-            tff, dlf = tfs.astype(np.float64), dls.astype(np.float64)
-            partial = tff * (BM25_K1 + 1.0) / (
-                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dlf / avgdl)
-            )
             out.append(
                 {
                     "term": term,
                     "salt": int(new_salt),
                     "nb": int(new_nb),
                     "count": int(docs.size),
-                    "max_partial": float(partial.max()) if partial.size else 0.0,
+                    "max_tf": int(tfs.max()) if tfs.size else 0,
+                    "min_dl": int(dls.min()) if dls.size else 1,
                     "docs_vb": codec.delta_encode(docs),
                     "tfs_vb": codec.varbyte_encode(tfs),
                     "dlens_vb": codec.varbyte_encode(dls),

@@ -1,60 +1,73 @@
-"""Block-max pruned top-k query execution over the segment store.
+"""Block-max pruned top-k query execution over the segment store,
+generation-aware (base segments + incremental delta generations).
 
 Distributed block-max WAND (SURVEY.md §2.F/§2.J): because the segment
 salting is doc-aligned across terms (segments.py — salt classes are nested
 powers of two of the SAME hash of doc_id), a global salt class g is a
 "block" in the WAND sense: for every query term t its contribution to any
-doc in g is bounded by idf_t · max_partial(t, g % nb_t). So:
+doc in g is bounded by idf_t · partial(max_tf, min_dl) of the compatible
+block (evaluated with the QUERY-TIME avgdl — safe under delta-shifted
+statistics). So:
 
-  phase 0  metadata-only scan: (term, salt, nb, count, max_partial) for
-           the query terms — parquet reads NONE of the binary posting
+  phase 0  metadata-only scan: (term, salt, nb, count, max_tf, min_dl)
+           for the query terms — parquet reads NONE of the binary posting
            columns (column pruning) and prunes files/row-groups by term
            (bucket directory + min/max sort). Collected to the driver:
-           ≤ |q|·NB_MAX tiny rows.
+           ≤ |q|·NB_MAX·(1+gens) tiny rows.
   phase 1  seed the threshold θ: exactly score the most-promising global
            classes (highest upper bound) until ≥ k docs are fully scored;
-           θ = k-th best true score. A doc's score in a kept class is
-           always its FULL score (every term's compatible block is
-           decoded), so θ is a valid lower bound on the true k-th score.
+           θ = k-th best true score (minus a half-ulp of the rounding).
   phase 2  prune: keep classes with ub(g) ≥ θ; decode only those blocks,
            score exactly (same columnar BM25 expressions as the naive
            path — no UDF in scoring), take top-k.
 
-Correctness argument: a dropped class g has ub(g) < θ ≤ true k-th score,
-and every doc's true score is ≤ ub(its class), so dropped docs cannot be
-in the true top-k. Stray docs decoded via a coarse block that belong to a
-dropped class are filtered out by re-deriving their class from doc_id —
-they would otherwise carry underestimated scores. AND mode additionally
-drops classes where any term has no compatible block.
+Incremental semantics (streaming/ingest.py writes the deltas):
+  * every upsert/delete of doc d in generation g writes a tombstone (d,g);
+    postings of d from generations < g are dropped after decode
+    (last-writer-wins — the reference's idempotent uuid-keyed upsert,
+    /root/reference/pkg/es/service.go:119-138).
+  * N and avgdl are EXACT (maintained in the docs table per batch);
+    per-term df is Lucene-faithful approximate until fold_deltas — counts
+    include superseded postings, exactly as Lucene counts deleted docs in
+    docFreq until segment merge. fold_deltas restores exact df.
 
-The expensive work (decode + score) stays fully distributed; the driver
-only handles block METADATA (bounded by |q|·NB_MAX), never postings.
+Correctness argument for pruning: a dropped class g has ub(g) < θ ≤ true
+k-th score, and every doc's true score is ≤ ub(its class) — tombstone
+drops only remove score mass, and ub uses the max over generations — so
+dropped docs cannot be in the true top-k. Stray docs decoded via a coarse
+block that belong to a dropped class are filtered out by re-deriving their
+class from doc_id.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
+from .. import BM25_B, BM25_K1
 from ..functions.analyzer import analyze_query_py
 from . import codec
-from .bm25 import ROUND_DECIMALS, bm25_partial_col, idf_col
+from .bm25 import ROUND_DECIMALS, bm25_partial_col
+from .segments import SEGMENT_READ_SCHEMA
 
 _DECODED_SCHEMA = StructType(
     [
         StructField("term", StringType()),
+        StructField("gen", IntegerType()),
         StructField("doc_id", LongType()),
         StructField("tf", LongType()),
         StructField("doc_len", LongType()),
@@ -65,26 +78,36 @@ _DECODED_SCHEMA = StructType(
 def _decode_blocks(iterator):
     """mapInPandas decoder: segment rows → exploded postings. Arrow-batched,
     numpy-vectorized; one Python call per batch of blocks."""
+    empty = pd.DataFrame(
+        {"term": pd.Series(dtype="str"), "gen": pd.Series(dtype="int32"),
+         "doc_id": pd.Series(dtype="int64"), "tf": pd.Series(dtype="int64"),
+         "doc_len": pd.Series(dtype="int64")}
+    )
     for pdf in iterator:
         outs = []
-        for docs_vb, tfs_vb, dlens_vb, term in zip(
-            pdf["docs_vb"], pdf["tfs_vb"], pdf["dlens_vb"], pdf["term"]
+        for docs_vb, tfs_vb, dlens_vb, term, gen in zip(
+            pdf["docs_vb"], pdf["tfs_vb"], pdf["dlens_vb"], pdf["term"], pdf["gen"]
         ):
             docs = codec.delta_decode(docs_vb).astype(np.int64)
             outs.append(
                 pd.DataFrame(
                     {
                         "term": term,
+                        "gen": np.int32(gen),
                         "doc_id": docs,
                         "tf": codec.varbyte_decode(tfs_vb).astype(np.int64),
                         "doc_len": codec.varbyte_decode(dlens_vb).astype(np.int64),
                     }
                 )
             )
-        yield pd.concat(outs) if outs else pd.DataFrame(
-            {"term": pd.Series(dtype="str"), "doc_id": pd.Series(dtype="int64"),
-             "tf": pd.Series(dtype="int64"), "doc_len": pd.Series(dtype="int64")}
-        )
+        yield pd.concat(outs) if outs else empty
+
+
+def _partial_np(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
 
 
 @dataclass
@@ -96,6 +119,7 @@ class SegmentIndex:
     nb_max: int
     n_buckets: int
     analyzer: str
+    generations: list[int] = field(default_factory=list)  # delta gens, sorted
     # below this many candidate postings the two-phase pruned plan costs
     # more (an extra job round-trip) than it saves — go straight exhaustive
     prune_min_postings: int = 100_000
@@ -104,48 +128,86 @@ class SegmentIndex:
     def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":
         with open(os.path.join(path, "index.json")) as f:
             m = json.load(f)
+        gens = []
+        stats = {"n_docs": int(m["n_docs"]), "avgdl": float(m["avgdl"]) or 1.0}
+        for mp in sorted(glob.glob(os.path.join(path, "delta_manifest_*.json"))):
+            with open(mp) as f:
+                dm = json.load(f)
+            if dm.get("committed"):
+                gens.append(int(dm["gen"]))
+                stats = {"n_docs": int(dm["n_docs"]), "avgdl": float(dm["avgdl"]) or 1.0}
         return cls(
-            spark=spark, path=path, n_docs=int(m["n_docs"]),
-            avgdl=float(m["avgdl"]) or 1.0, nb_max=int(m["nb_max"]),
-            n_buckets=int(m["n_buckets"]), analyzer=m.get("analyzer", "simple"),
+            spark=spark, path=path, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+            nb_max=int(m["nb_max"]), n_buckets=int(m["n_buckets"]),
+            analyzer=m.get("analyzer", "simple"), generations=sorted(gens),
         )
 
     # -- scans ------------------------------------------------------------
-    def _segments(self, terms: list[str]) -> DataFrame:
-        segs = self.spark.read.parquet(os.path.join(self.path, "segments"))
-        buckets = sorted(
-            {r["b"] for r in self.spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            ).select(F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b")).collect()}
-        )
-        return segs.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    def _segments(self, terms: list[str] | None) -> DataFrame:
+        base = self.spark.read.parquet(os.path.join(self.path, "segments")) \
+            .withColumn("gen", F.lit(0))
+        parts = [base]
+        for g in self.generations:
+            parts.append(
+                self.spark.read.schema(SEGMENT_READ_SCHEMA).parquet(
+                    os.path.join(self.path, "delta", f"gen={g}", "segments")
+                ).withColumn("gen", F.lit(g))
+            )
+        segs = parts[0]
+        for p in parts[1:]:
+            segs = segs.unionByName(p)
+        return segs.filter(F.col("term").isin(terms)) if terms is not None else segs
+
+    def _tombstones(self) -> DataFrame | None:
+        """(doc_id, tgen) — max tombstone generation per doc."""
+        if not self.generations:
+            return None
+        parts = []
+        for g in self.generations:
+            parts.append(
+                self.spark.read.parquet(
+                    os.path.join(self.path, "delta", f"gen={g}", "tombstones")
+                ).select("doc_id", F.lit(g).alias("tgen"))
+            )
+        t = parts[0]
+        for p in parts[1:]:
+            t = t.unionByName(p)
+        return t.groupBy("doc_id").agg(F.max("tgen").alias("tgen"))
 
     def _meta(self, terms: list[str]) -> pd.DataFrame:
         """Metadata-only scan — binary columns never touched."""
         return (
             self._segments(terms)
-            .select("term", "salt", "nb", "count", "max_partial")
+            .select("term", "gen", "salt", "nb", "count", "max_tf", "min_dl")
             .toPandas()
         )
 
     def _idf(self, df: int) -> float:
         return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
 
-    def _decode(self, terms: list[str], keys: set[tuple[str, int]] | None) -> DataFrame:
+    def _decode(self, terms: list[str],
+                keys: set[tuple[str, int, int]] | None) -> DataFrame:
         segs = self._segments(terms)
         if keys is not None:
-            key_strs = [f"{t}\x00{s}" for t, s in keys]
+            key_strs = [f"{t}\x00{g}\x00{s}" for t, g, s in keys]
             segs = segs.filter(
-                F.concat_ws("\x00", F.col("term"), F.col("salt").cast("string")).isin(key_strs)
+                F.concat_ws("\x00", F.col("term"), F.col("gen").cast("string"),
+                            F.col("salt").cast("string")).isin(key_strs)
             )
-        return segs.select("term", "docs_vb", "tfs_vb", "dlens_vb").mapInPandas(
-            _decode_blocks, _DECODED_SCHEMA
-        )
+        return segs.select("term", "gen", "docs_vb", "tfs_vb", "dlens_vb") \
+            .mapInPandas(_decode_blocks, _DECODED_SCHEMA)
 
     # -- scoring ----------------------------------------------------------
     def _score(self, decoded: DataFrame, term_df: dict[str, int],
                n_terms_required: int | None, k: int,
                keep_classes: list[int] | None = None) -> DataFrame:
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
         stats = self.spark.createDataFrame(
             [(t, d) for t, d in term_df.items()], "term string, df long"
         )
@@ -187,9 +249,8 @@ class SegmentIndex:
         if is_and and found != set(terms):
             return empty  # a required term is absent from the corpus
         terms = sorted(found)
-        term_df = {
-            t: int(g["count"].sum()) for t, g in meta.groupby("term")
-        }
+        # Lucene-faithful df: includes superseded postings until fold
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
         required = len(terms) if is_and else None
 
         if not prune or sum(term_df.values()) <= self.prune_min_postings:
@@ -202,17 +263,24 @@ class SegmentIndex:
         cnt_min = np.full(nb_all, np.inf)
         cnt_max = np.zeros(nb_all)
         g = np.arange(nb_all)
-        for t, grp in meta.groupby("term"):
+        for t, tgrp in meta.groupby("term"):
             idf = self._idf(term_df[t])
-            nb_t = int(grp["nb"].iloc[0])
-            mp = np.zeros(nb_t)
-            ct = np.zeros(nb_t)
-            mp[grp["salt"].to_numpy()] = grp["max_partial"].to_numpy()
-            ct[grp["salt"].to_numpy()] = grp["count"].to_numpy()
-            ub += idf * mp[g % nb_t]
-            cnt_min = np.minimum(cnt_min, ct[g % nb_t])
-            cnt_max = np.maximum(cnt_max, ct[g % nb_t])
-            present &= ct[g % nb_t] > 0
+            mp_full = np.zeros(nb_all)
+            ct_full = np.zeros(nb_all)
+            for (gen, nb_t), grp in tgrp.groupby(["gen", "nb"]):
+                nb_t = int(nb_t)
+                mp = np.zeros(nb_t)
+                ct = np.zeros(nb_t)
+                part = _partial_np(grp["max_tf"].to_numpy(),
+                                   grp["min_dl"].to_numpy(), self.avgdl)
+                mp[grp["salt"].to_numpy()] = part
+                ct[grp["salt"].to_numpy()] = grp["count"].to_numpy()
+                mp_full = np.maximum(mp_full, mp[g % nb_t])
+                ct_full += ct[g % nb_t]
+            ub += idf * mp_full
+            cnt_min = np.minimum(cnt_min, ct_full)
+            cnt_max = np.maximum(cnt_max, ct_full)
+            present &= ct_full > 0
         feasible = present if is_and else ub > 0
         est = cnt_min if is_and else cnt_max
         order = [int(x) for x in np.argsort(-ub) if feasible[int(x)]]
@@ -227,7 +295,7 @@ class SegmentIndex:
             if got >= k:
                 break
 
-        seed_keys = self._keys_for_classes(meta, terms, seed)
+        seed_keys = self._keys_for_classes(meta, seed)
         seed_top = self._score(
             self._decode(terms, seed_keys), term_df, required, k, keep_classes=seed
         ).collect()
@@ -240,20 +308,31 @@ class SegmentIndex:
             keep = [c for c in order if ub[c] >= theta or c in set(seed)]
         else:
             keep = order  # not enough seeds: fall back to all feasible classes
-        keep_keys = self._keys_for_classes(meta, terms, keep)
+        keep_keys = self._keys_for_classes(meta, keep)
         return self._score(
             self._decode(terms, keep_keys), term_df, required, k, keep_classes=keep
         )
 
+    def term_lookup(self, term: str) -> DataFrame:
+        """Single-term postings fetch over the segment store (live docs)."""
+        decoded = self._decode([term], None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+            )
+        return decoded.select("doc_id", "tf").orderBy("doc_id")
+
     @staticmethod
-    def _keys_for_classes(meta: pd.DataFrame, terms: list[str],
-                          classes: list[int]) -> set[tuple[str, int]]:
-        keys: set[tuple[str, int]] = set()
+    def _keys_for_classes(meta: pd.DataFrame,
+                          classes: list[int]) -> set[tuple[str, int, int]]:
+        keys: set[tuple[str, int, int]] = set()
         cls = np.asarray(classes)
-        for t, grp in meta.groupby("term"):
-            nb_t = int(grp["nb"].iloc[0])
+        for (t, gen, nb_t), grp in meta.groupby(["term", "gen", "nb"]):
+            nb_t = int(nb_t)
             have = set(grp["salt"].tolist())
             for s in np.unique(cls % nb_t):
                 if int(s) in have:
-                    keys.add((t, int(s)))
+                    keys.add((t, int(gen), int(s)))
         return keys
