@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         IM.annotations_from_documents(s, d), "TOPIC", "cmr_topics")
     out["etl_primary_theme"] = lambda s, d: IM.primary_theme(
         IM.annotations_from_documents(s, d))
+    out["etl_cmr_id_fallback"] = lambda s, d: IM.cmr_id_fallback(
+        IM.annotations_from_documents(s, d))
     # relational operator plans (SURVEY §2.D/F/H + A2)
     out["join_region_revenue"] = R.region_revenue
     out["window_top3_orders"] = R.top3_orders_per_customer
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
     out["etl_people_buckets"] = oracle.annotation_buckets_sql("PERSON", "cmr_people")
     out["etl_topic_buckets"] = oracle.annotation_buckets_sql("TOPIC", "cmr_topics")
     out["etl_primary_theme"] = oracle.primary_theme_sql()
+    out["etl_cmr_id_fallback"] = oracle.cmr_id_fallback_sql()
     out["join_region_revenue"] = R.region_revenue_sql()
     out["window_top3_orders"] = R.top3_orders_per_customer_sql()
     out["events_json_extract"] = R.events_json_extract_sql()

@@ -167,7 +167,10 @@ def build_segments(
     # ---- stage 1: staging postings + stats (skipped if committed) ----
     if not os.path.exists(staging_manifest):
         t0 = time.time()
-        tok = P.tokenized(corpus, text_col, doc_col, analyzer)
+        # persist the tokenized pass: postings, docs table, and corpus
+        # stats all derive from it — without the persist the (expensive)
+        # tokenize would run three times
+        tok = P.tokenized(corpus, text_col, doc_col, analyzer).persist()
         post = P.build_postings(tok).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
@@ -185,6 +188,7 @@ def build_segments(
             os.path.join(out_dir, "docs")
         )
         cs = P.corpus_stats(tok)
+        tok.unpersist()
         _write_json_atomic(
             staging_manifest,
             {
@@ -203,14 +207,17 @@ def build_segments(
         stage1 = json.load(f)
 
     # ---- stage 2: per-bucket encode, each bucket commits its manifest ----
-    bucket_manifests = []
-    for i in range(stage1["n_buckets"]):
+    # Buckets are independent restart units; their jobs are submitted from
+    # a thread pool so the cluster stays saturated (sequential bucket jobs
+    # leave executors idle during each bucket's stage tails — measured 4-5x
+    # wall-clock loss at local[32]). Resumability is unchanged: one
+    # manifest per bucket, committed last, skipped when present.
+    def build_bucket(i: int) -> dict:
         bman_path = os.path.join(out_dir, f"manifest_bucket_{i}.json")
         seg_dir = os.path.join(out_dir, "segments", f"bucket={i}")
         if os.path.exists(bman_path):
             with open(bman_path) as f:
-                bucket_manifests.append(json.load(f))
-            continue
+                return json.load(f)
         t0 = time.time()
         if os.path.exists(seg_dir):
             shutil.rmtree(seg_dir)  # uncommitted partial write: rebuild
@@ -222,8 +229,13 @@ def build_segments(
         segs = salted.groupBy("term", "salt", "nb").applyInPandas(
             _encode_group_fn(), SEGMENT_SCHEMA
         )
+        # coalesce, NOT repartitionByRange: range partitioning samples
+        # boundaries by re-executing the whole upstream encode twice per
+        # bucket (measured 3x stage-2 wall-clock). The local sort alone
+        # gives parquet row-group min/max term pruning; bucket directories
+        # remain the primary prune.
         (
-            segs.repartitionByRange(4, "term")
+            segs.coalesce(2)
             .sortWithinPartitions("term", "salt")
             .write.parquet(seg_dir)
         )
@@ -244,7 +256,12 @@ def build_segments(
             "committed": True,
         }
         _write_json_atomic(bman_path, bman)
-        bucket_manifests.append(bman)
+        return bman
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, stage1["n_buckets"])) as pool:
+        bucket_manifests = list(pool.map(build_bucket, range(stage1["n_buckets"])))
 
     # ---- stage 3: global manifest, committed last ----
     manifest = {
@@ -342,8 +359,8 @@ def merge_segments(
     )
     tmp_path = seg_path + ".merged"
     (
-        merged.repartitionByRange(4, "term")
-        .sortWithinPartitions("term", "salt")
+        merged.coalesce(4)
+        .sortWithinPartitions("bucket", "term", "salt")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(tmp_path)

@@ -60,6 +60,7 @@ from pyspark.sql.types import (
 
 from .. import BM25_B, BM25_K1
 from ..functions.analyzer import analyze_query_py
+from ..functions.hashing import pmod, xxh64_string
 from . import codec
 from .bm25 import ROUND_DECIMALS, bm25_partial_col
 from .segments import SEGMENT_READ_SCHEMA
@@ -121,8 +122,11 @@ class SegmentIndex:
     analyzer: str
     generations: list[int] = field(default_factory=list)  # delta gens, sorted
     # below this many candidate postings the two-phase pruned plan costs
-    # more (an extra job round-trip) than it saves — go straight exhaustive
-    prune_min_postings: int = 100_000
+    # more (an extra job round-trip + second decode pass) than it saves —
+    # go straight exhaustive. Sandbox-measured crossover; at cluster scale
+    # decode dominates far earlier relative to job latency, so deployments
+    # tune this down.
+    prune_min_postings: int = 500_000
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":
@@ -143,20 +147,33 @@ class SegmentIndex:
         )
 
     # -- scans ------------------------------------------------------------
+    def _all_segments(self) -> DataFrame:
+        """Union reader over base + delta generations (plan cached on the
+        instance — re-listing parquet dirs per query is pure overhead)."""
+        if getattr(self, "_segs_cache", None) is None:
+            base = self.spark.read.parquet(os.path.join(self.path, "segments")) \
+                .withColumn("gen", F.lit(0))
+            parts = [base]
+            for g in self.generations:
+                parts.append(
+                    self.spark.read.schema(SEGMENT_READ_SCHEMA).parquet(
+                        os.path.join(self.path, "delta", f"gen={g}", "segments")
+                    ).withColumn("gen", F.lit(g))
+                )
+            segs = parts[0]
+            for p in parts[1:]:
+                segs = segs.unionByName(p)
+            self._segs_cache = segs
+        return self._segs_cache
+
     def _segments(self, terms: list[str] | None) -> DataFrame:
-        base = self.spark.read.parquet(os.path.join(self.path, "segments")) \
-            .withColumn("gen", F.lit(0))
-        parts = [base]
-        for g in self.generations:
-            parts.append(
-                self.spark.read.schema(SEGMENT_READ_SCHEMA).parquet(
-                    os.path.join(self.path, "delta", f"gen={g}", "segments")
-                ).withColumn("gen", F.lit(g))
-            )
-        segs = parts[0]
-        for p in parts[1:]:
-            segs = segs.unionByName(p)
-        return segs.filter(F.col("term").isin(terms)) if terms is not None else segs
+        segs = self._all_segments()
+        if terms is None:
+            return segs
+        # driver-side XXH64 (parity-pinned with the JVM expression) →
+        # bucket directory pruning without a Spark job
+        buckets = sorted({pmod(xxh64_string(t), self.n_buckets) for t in terms})
+        return segs.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     def _tombstones(self) -> DataFrame | None:
         """(doc_id, tgen) — max tombstone generation per doc."""
@@ -194,7 +211,12 @@ class SegmentIndex:
                 F.concat_ws("\x00", F.col("term"), F.col("gen").cast("string"),
                             F.col("salt").cast("string")).isin(key_strs)
             )
+        # coalesce to core count: query-filtered segment sets are a few
+        # small files per bucket; without this every tiny file-partition
+        # spawns its own Python worker (decode-side worker storm)
+        par = self.spark.sparkContext.defaultParallelism
         return segs.select("term", "gen", "docs_vb", "tfs_vb", "dlens_vb") \
+            .coalesce(max(1, par)) \
             .mapInPandas(_decode_blocks, _DECODED_SCHEMA)
 
     # -- scoring ----------------------------------------------------------

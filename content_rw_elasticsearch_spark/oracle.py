@@ -210,6 +210,26 @@ FROM fp GROUP BY uuid ORDER BY uuid
 """
 
 
+def cmr_id_fallback_sql(taxonomy: str = "TOPIC") -> str:
+    import base64
+
+    suffix = base64.b64encode(taxonomy.encode()).decode()
+    return f"""
+WITH {ANN_CTE},
+ids2 AS (
+  SELECT uuid,
+         list(concept_id || CASE WHEN ann_pos % 2 = 0 THEN '{suffix}' ELSE '' END
+              ORDER BY ann_pos) AS ids
+  FROM ann GROUP BY uuid
+)
+SELECT uuid,
+       CASE WHEN len(list_filter(ids, x -> ends_with(x, '{suffix}'))) > 0
+            THEN list_filter(ids, x -> ends_with(x, '{suffix}'))[1]
+            ELSE coalesce(ids[2], ids[1]) END AS cmr_id
+FROM ids2 ORDER BY uuid
+"""
+
+
 def primary_theme_sql() -> str:
     return f"""
 WITH {ANN_CTE}

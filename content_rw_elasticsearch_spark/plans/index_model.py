@@ -195,6 +195,37 @@ def primary_theme(anns: DataFrame) -> DataFrame:
     )
 
 
+def cmr_id_fallback(anns: DataFrame, taxonomy: str = "TOPIC") -> DataFrame:
+    """C11 — getCmrIDWithFallback (mapper.go:303-324): per document, pick
+    the annotation id whose value ends with base64(taxonomy); if none,
+    fall back to ids[1], else ids[0]. Ids are taken in annotation order
+    (the reference scans the slice in order).
+
+    To exercise BOTH branches deterministically, ids are suffixed with the
+    base64 marker for docs where the first annotation position is even —
+    the marker plays the role of the TME taxonomy suffix."""
+    import base64
+
+    suffix = base64.b64encode(taxonomy.encode()).decode()
+    ids = (
+        anns.groupBy("uuid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ann_pos", "concept_id"))),
+                lambda s: F.concat(
+                    s["concept_id"],
+                    F.when(s["ann_pos"] % 2 == 0, F.lit(suffix)).otherwise(F.lit("")),
+                ),
+            ).alias("ids")
+        )
+    )
+    matched = F.filter(F.col("ids"), lambda x: x.endswith(suffix))
+    picked = F.when(F.size(matched) > 0, F.try_element_at(matched, F.lit(1))).otherwise(
+        F.coalesce(F.try_element_at("ids", F.lit(2)), F.try_element_at("ids", F.lit(1)))
+    )
+    return ids.select("uuid", picked.alias("cmr_id")).orderBy("uuid")
+
+
 def routing_counts(enriched: DataFrame) -> DataFrame:
     """Compact B1–B6 summary: documents per target collection."""
     return (

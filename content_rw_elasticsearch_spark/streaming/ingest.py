@@ -106,7 +106,7 @@ def apply_upserts(
         _encode_group_fn(), SEGMENT_SCHEMA
     )
     segs.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")) \
-        .repartitionByRange(2, "term").sortWithinPartitions("term", "salt") \
+        .coalesce(2).sortWithinPartitions("bucket", "term", "salt") \
         .write.partitionBy("bucket").parquet(os.path.join(delta_dir, "segments"))
 
     # tombstones: EVERY updated doc kills its older generations
@@ -186,7 +186,7 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
         _encode_group_fn(), SEGMENT_SCHEMA
     ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int"))
     tmp_seg = os.path.join(index_dir, "segments.tmp")
-    new_segs.repartitionByRange(4, "term").sortWithinPartitions("term", "salt") \
+    new_segs.coalesce(4).sortWithinPartitions("bucket", "term", "salt") \
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp_seg)
 
     row = spark.read.parquet(os.path.join(index_dir, "docs")).agg(

@@ -1,0 +1,87 @@
+"""Two-cluster-size scaling evidence (BASELINE.md (b), north_rule).
+
+Runs the identical segment-index build + query job at local[8] and
+local[32] (the sandbox stand-in for N vs 4N executors) on the same
+deterministic synthetic corpus, in separate JVMs, and reports indexing
+throughput at both plus scaling efficiency
+    eff = throughput(4N) / (4 × throughput(N)).
+Appends the measured table to BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python scripts/bench_scaling.py [n_docs] (default 150000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(cpus: int, n_docs: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SYNTH_DOCS=str(n_docs),
+        SPARK_DRIVER_MEM="48g",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    low, high = 8, 32
+    r_low = run_one(low, n_docs)
+    r_high = run_one(high, n_docs)
+    eff = r_high["docs_per_sec"] / ((high / low) * r_low["docs_per_sec"])
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "low": {"cpus": low, "docs_per_sec": r_low["docs_per_sec"],
+                "build_sec": r_low["index_build_sec"],
+                "query_p50_sec": r_low["query_p50_sec"]},
+        "high": {"cpus": high, "docs_per_sec": r_high["docs_per_sec"],
+                 "build_sec": r_high["index_build_sec"],
+                 "query_p50_sec": r_high["query_p50_sec"]},
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = f"""
+## (c) Measured scaling run — {stamp}
+
+Identical segment-index build + reference-query job, deterministic
+synthetic corpus ({n_docs:,} docs, seed 42), separate JVMs; only the
+master string differs (sandbox stand-in for N vs 4N executors).
+
+| parallelism | index build (s) | indexing throughput (docs/s) | query p50 (s) |
+|---|---|---|---|
+| local[{low}]  | {r_low['index_build_sec']} | {r_low['docs_per_sec']} | {r_low['query_p50_sec']} |
+| local[{high}] | {r_high['index_build_sec']} | {r_high['docs_per_sec']} | {r_high['query_p50_sec']} |
+
+**Scaling efficiency** = {r_high['docs_per_sec']} / ({high // low} × {r_low['docs_per_sec']})
+= **{eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    base = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if not os.path.exists(base):
+        with open(base, "w") as f:
+            f.write("# BENCH/BASELINE — measured numbers for this repo\n\n"
+                    "See /root/repo/BASELINE.md for targets. Sections below are\n"
+                    "appended by scripts/bench_scaling.py runs.\n")
+    main()
