@@ -78,6 +78,14 @@ def _bm25_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(spec["query"], k=spec["k"], mode=spec["mode"])
 
 
+def _phrase_query(phrase: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    from content_rw_elasticsearch_spark.operators import postings as P
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = P.tokenized(docs, "text", "doc_id", "simple")
+    return P.phrase_match(P.build_positional_postings(tok),
+                          oracle.analyze_query_py(phrase, "simple"))
+
+
 def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _index_for(spark, sf_dir).term_lookup("dup")
 
@@ -105,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         out[f"segment_{name}"] = functools.partial(_wand_query, name, False)
         out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
+    out["phrase_two"] = functools.partial(_phrase_query, "hash join")
+    out["phrase_three"] = functools.partial(_phrase_query, "customer data group")
     out["index_term_postings"] = _term_postings
     out["index_term_stats"] = _term_stats
     out["index_corpus_stats"] = _corpus_stats
@@ -167,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
         sql = oracle.bm25_topk_sql(spec["query"], k=spec["k"], mode=spec["mode"])
         out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
+    out["phrase_two"] = oracle.phrase_match_sql("hash join")
+    out["phrase_three"] = oracle.phrase_match_sql("customer data group")
     out["index_term_postings"] = oracle.term_postings_sql("dup")
     out["index_term_stats"] = oracle.term_stats_sql()
     out["index_corpus_stats"] = oracle.corpus_stats_sql()

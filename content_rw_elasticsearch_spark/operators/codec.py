@@ -70,3 +70,34 @@ def delta_encode(sorted_ids: np.ndarray) -> bytes:
 def delta_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
     gaps = varbyte_decode(buf)
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+def positions_encode(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode concatenated per-doc sorted token positions (doc boundaries
+    given by tfs): within-doc deltas (first position absolute) + varbyte."""
+    flat = np.ascontiguousarray(flat_positions, dtype=np.uint64)
+    if flat.size == 0:
+        return b""
+    prev = np.empty_like(flat)
+    prev[0] = 0
+    prev[1:] = flat[:-1]
+    deltas = flat - prev
+    starts = np.zeros(flat.size, dtype=bool)
+    starts[np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)] = True
+    deltas[starts] = flat[starts]
+    return varbyte_encode(deltas)
+
+
+def positions_decode(buf: bytes | bytearray | memoryview,
+                     tfs: np.ndarray) -> np.ndarray:
+    """Inverse of positions_encode → flat ABSOLUTE positions. Vectorized
+    reset-at-boundary cumsum: global cumsum C minus, per element, the
+    cumsum value just before its doc's first element."""
+    deltas = varbyte_decode(buf)
+    if deltas.size == 0:
+        return deltas
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+    base = np.zeros(len(tfs), dtype=np.uint64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, tfs.astype(np.int64))

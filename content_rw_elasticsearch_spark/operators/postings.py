@@ -52,6 +52,54 @@ def build_postings(tok_df: DataFrame) -> DataFrame:
     )
 
 
+def build_positional_postings(tok_df: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, doc_len, positions) — like build_postings but
+    keeping the sorted 0-based token positions per (term, doc). Feeds
+    phrase queries (adjacency joins) and the positional segment store."""
+    return (
+        tok_df.select("doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term"))
+        .groupBy("term", "doc_id", "doc_len")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def phrase_match(pos_postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Exact phrase occurrences: docs where terms appear at consecutive
+    positions, with the phrase frequency. Pure relational form — explode
+    each term's positions, chain equi-joins on (doc_id, pos + i). The
+    first (most selective-ish) term's postings anchor the join; Catalyst
+    broadcast/AQE handles the physical strategy.
+
+    Scale note: position explosion is bounded by Σ tf of the phrase's
+    terms; phrase terms are typically selective. For all-hot phrases the
+    same block-max machinery prunes first (segment path)."""
+    if not terms:
+        raise ValueError("phrase needs at least one term")
+    base = (
+        pos_postings.filter(F.col("term") == terms[0])
+        .select("doc_id", F.explode("positions").alias("p0"))
+    )
+    cur = base
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (
+            pos_postings.filter(F.col("term") == t)
+            .select(F.col("doc_id").alias(f"d{i}"), F.explode("positions").alias(f"p{i}"))
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col(f"d{i}"))
+            & (F.col(f"p{i}") == F.col("p0") + i),
+        ).drop(f"d{i}")
+    return (
+        cur.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("phrase_tf"))
+        .orderBy("doc_id")
+    )
+
+
 def term_stats(postings: DataFrame) -> DataFrame:
     """(term, df) — document frequency per term. Hash agg, partial+final."""
     return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

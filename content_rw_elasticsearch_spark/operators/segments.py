@@ -16,7 +16,8 @@ exactly class ``g % nb_t`` of another. That alignment is what turns the
 salt into block-max metadata the query path can prune on (wand.py).
 
 SEGMENT LAYOUT. One parquet row per (term, salt) block:
-    (term, salt, nb, count, max_partial, docs_vb, tfs_vb, dlens_vb)
+    (term, salt, nb, count, max_tf, min_dl, docs_vb, tfs_vb, dlens_vb,
+     pos_vb)
 - docs_vb: sorted doc_ids, delta + varbyte (codec.py)
 - tfs_vb / dlens_vb: varbyte, aligned with docs_vb
 - max_tf / min_dl: block-max metadata (block-max WAND, SURVEY.md §2.F).
@@ -79,6 +80,10 @@ SEGMENT_SCHEMA = StructType(
         StructField("docs_vb", BinaryType()),
         StructField("tfs_vb", BinaryType()),
         StructField("dlens_vb", BinaryType()),
+        # within-doc delta + varbyte token positions, concatenated in
+        # doc_id order; tf gives the per-doc boundaries. Empty when the
+        # index is built without positions.
+        StructField("pos_vb", BinaryType()),
     ]
 )
 
@@ -101,7 +106,7 @@ def plan_block_counts(stats: DataFrame, target_block: int = TARGET_BLOCK,
     return stats.withColumn("nb", F.greatest(F.lit(1), nb))
 
 
-def _encode_group_fn():
+def _encode_group_fn(with_positions: bool = False):
     """applyInPandas group encoder: one (term, salt) group → one segment row.
     All numpy-vectorized; no per-posting Python."""
 
@@ -112,6 +117,12 @@ def _encode_group_fn():
         doc_ids = doc_ids[order]
         tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
         dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
+        pos_vb = b""
+        if with_positions and "positions" in pdf.columns and doc_ids.size:
+            plists = pdf["positions"].to_numpy(dtype=object)[order]
+            flat = np.concatenate([np.asarray(p, dtype=np.uint64) for p in plists])
+            if flat.size:
+                pos_vb = codec.positions_encode(flat, tfs)
         return pd.DataFrame(
             {
                 "term": [term],
@@ -123,6 +134,7 @@ def _encode_group_fn():
                 "docs_vb": [codec.delta_encode(doc_ids)],
                 "tfs_vb": [codec.varbyte_encode(tfs)],
                 "dlens_vb": [codec.varbyte_encode(dls)],
+                "pos_vb": [pos_vb],
             }
         )
 
@@ -147,6 +159,7 @@ def build_segments(
     nb_max: int = NB_MAX,
     snapshot_id: str = "",
     overwrite: bool = False,
+    with_positions: bool = False,
 ) -> dict:
     """Build (or resume) the segment index at ``out_dir``. Returns the
     global manifest dict."""
@@ -171,7 +184,9 @@ def build_segments(
         # stats all derive from it — without the persist the (expensive)
         # tokenize would run three times
         tok = P.tokenized(corpus, text_col, doc_col, analyzer).persist()
-        post = P.build_postings(tok).withColumn(
+        post = (
+            P.build_positional_postings(tok) if with_positions else P.build_postings(tok)
+        ).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
         if os.path.exists(staging_dir):
@@ -199,6 +214,7 @@ def build_segments(
                 "nb_max": nb_max,
                 "target_block": target_block,
                 "analyzer": analyzer,
+                "positions": with_positions,
                 "build_metrics": {"secs": round(time.time() - t0, 3)},
                 "committed": True,
             },
@@ -212,6 +228,18 @@ def build_segments(
     # leave executors idle during each bucket's stage tails — measured 4-5x
     # wall-clock loss at local[32]). Resumability is unchanged: one
     # manifest per bucket, committed last, skipped when present.
+    #
+    # Per-bucket posting counts come from ONE staging aggregation for all
+    # buckets (the encoder preserves posting counts exactly), and block
+    # counts from parquet footers via pyarrow — not from 2 extra Spark
+    # jobs per bucket, which were a measurable serial (Amdahl) term in
+    # the whole-build scaling ratio.
+    bucket_postings = {
+        int(r["bucket"]): int(r["n"])
+        for r in spark.read.parquet(staging_dir)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
     def build_bucket(i: int) -> dict:
         bman_path = os.path.join(out_dir, f"manifest_bucket_{i}.json")
         seg_dir = os.path.join(out_dir, "segments", f"bucket={i}")
@@ -227,7 +255,7 @@ def build_segments(
             "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
         )
         segs = salted.groupBy("term", "salt", "nb").applyInPandas(
-            _encode_group_fn(), SEGMENT_SCHEMA
+            _encode_group_fn(stage1.get("positions", False)), SEGMENT_SCHEMA
         )
         # coalesce, NOT repartitionByRange: range partitioning samples
         # boundaries by re-executing the whole upstream encode twice per
@@ -239,19 +267,21 @@ def build_segments(
             .sortWithinPartitions("term", "salt")
             .write.parquet(seg_dir)
         )
-        seg_df = spark.read.parquet(seg_dir)
-        row = seg_df.agg(
-            F.count(F.lit(1)).alias("blocks"), F.sum("count").alias("postings")
-        ).collect()[0]
+        import pyarrow.parquet as pq
+
+        seg_files = sorted(
+            f for f in os.listdir(seg_dir) if f.endswith(".parquet")
+        )
+        blocks = sum(
+            pq.read_metadata(os.path.join(seg_dir, f)).num_rows for f in seg_files
+        )
         bman = {
             "bucket": i,
             "snapshot_id": stage1["snapshot_id"],
             "partition_range": {"bucket": i, "n_buckets": stage1["n_buckets"]},
-            "posting_count": int(row["postings"] or 0),
-            "block_count": int(row["blocks"] or 0),
-            "segment_files": sorted(
-                f for f in os.listdir(seg_dir) if f.endswith(".parquet")
-            ),
+            "posting_count": bucket_postings.get(i, 0),
+            "block_count": int(blocks),
+            "segment_files": seg_files,
             "build_metrics": {"secs": round(time.time() - t0, 3)},
             "committed": True,
         }
@@ -268,6 +298,7 @@ def build_segments(
         "version": 1,
         "snapshot_id": stage1["snapshot_id"],
         "analyzer": stage1["analyzer"],
+        "positions": stage1.get("positions", False),
         "n_docs": stage1["n_docs"],
         "avgdl": stage1["avgdl"],
         "n_buckets": stage1["n_buckets"],
@@ -337,6 +368,20 @@ def merge_segments(
             tfs = np.concatenate([codec.varbyte_decode(r["tfs_vb"]) for r in rows])
             dls = np.concatenate([codec.varbyte_decode(r["dlens_vb"]) for r in rows])
             order = np.argsort(docs, kind="stable")
+            pos_vb = b""
+            if any(len(r["pos_vb"] or b"") for r in rows):
+                # decode each block's flat positions, split per doc,
+                # reorder the doc slices by the merged doc order, re-encode
+                per_doc: list[np.ndarray] = []
+                for r in rows:
+                    rtfs = codec.varbyte_decode(r["tfs_vb"])
+                    flat = codec.positions_decode(r["pos_vb"], rtfs)
+                    per_doc.extend(np.split(flat, np.cumsum(rtfs.astype(np.int64))[:-1]))
+                per_doc = [per_doc[i] for i in order]
+                merged_flat = (
+                    np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+                )
+                pos_vb = codec.positions_encode(merged_flat, tfs[order])
             docs, tfs, dls = docs[order], tfs[order], dls[order]
             out.append(
                 {
@@ -349,6 +394,7 @@ def merge_segments(
                     "docs_vb": codec.delta_encode(docs),
                     "tfs_vb": codec.varbyte_encode(tfs),
                     "dlens_vb": codec.varbyte_encode(dls),
+                    "pos_vb": pos_vb,
                 }
             )
         return pd.DataFrame(out)

@@ -104,6 +104,47 @@ def _decode_blocks(iterator):
         yield pd.concat(outs) if outs else empty
 
 
+_POS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("gen", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("pos", LongType()),
+    ]
+)
+
+
+def _decode_blocks_positions(iterator):
+    """mapInPandas decoder for phrase queries: segment rows → exploded
+    (term, gen, doc_id, pos) rows. Positions reconstructed vectorized
+    (codec.positions_decode); doc ids repeated per tf."""
+    empty = pd.DataFrame(
+        {"term": pd.Series(dtype="str"), "gen": pd.Series(dtype="int32"),
+         "doc_id": pd.Series(dtype="int64"), "pos": pd.Series(dtype="int64")}
+    )
+    for pdf in iterator:
+        outs = []
+        for docs_vb, tfs_vb, pos_vb, term, gen in zip(
+            pdf["docs_vb"], pdf["tfs_vb"], pdf["pos_vb"], pdf["term"], pdf["gen"]
+        ):
+            if not pos_vb:
+                continue
+            docs = codec.delta_decode(docs_vb).astype(np.int64)
+            tfs = codec.varbyte_decode(tfs_vb)
+            flat = codec.positions_decode(pos_vb, tfs).astype(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term": term,
+                        "gen": np.int32(gen),
+                        "doc_id": np.repeat(docs, tfs.astype(np.int64)),
+                        "pos": flat,
+                    }
+                )
+            )
+        yield pd.concat(outs) if outs else empty
+
+
 def _partial_np(tf: np.ndarray, dl: np.ndarray, avgdl: float,
                 k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
     tf = tf.astype(np.float64)
@@ -120,6 +161,7 @@ class SegmentIndex:
     nb_max: int
     n_buckets: int
     analyzer: str
+    positions: bool = False
     generations: list[int] = field(default_factory=list)  # delta gens, sorted
     # below this many candidate postings the two-phase pruned plan costs
     # more (an extra job round-trip + second decode pass) than it saves —
@@ -143,7 +185,9 @@ class SegmentIndex:
         return cls(
             spark=spark, path=path, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
             nb_max=int(m["nb_max"]), n_buckets=int(m["n_buckets"]),
-            analyzer=m.get("analyzer", "simple"), generations=sorted(gens),
+            analyzer=m.get("analyzer", "simple"),
+            positions=bool(m.get("positions", False)),
+            generations=sorted(gens),
         )
 
     # -- scans ------------------------------------------------------------
@@ -333,6 +377,75 @@ class SegmentIndex:
         keep_keys = self._keys_for_classes(meta, keep)
         return self._score(
             self._decode(terms, keep_keys), term_df, required, k, keep_classes=keep
+        )
+
+    def phrase_search(self, phrase: str) -> DataFrame:
+        """Exact phrase match over the positional segment store →
+        (doc_id, phrase_tf). Decodes positions ONLY for the phrase's
+        terms, restricted to salt classes where every term is present
+        (AND feasibility over the aligned salting — the same pruning
+        lattice the scorer uses), then chains adjacency equi-joins.
+        Requires an index built with with_positions=True."""
+        if not self.positions:
+            raise ValueError(
+                "phrase_search requires a positional index — rebuild with "
+                "build_segments(..., with_positions=True); this index was "
+                "built without positions"
+            )
+        terms = analyze_query_py(phrase, self.analyzer)
+        empty = self.spark.createDataFrame([], "doc_id long, phrase_tf long")
+        if not terms:
+            return empty
+        meta = self._meta(sorted(set(terms)))
+        if meta.empty or set(meta["term"].unique()) != set(terms):
+            return empty
+        # AND-feasible classes only
+        nb_all = self.nb_max
+        g = np.arange(nb_all)
+        present = np.ones(nb_all, dtype=bool)
+        for t, tgrp in meta.groupby("term"):
+            ct_full = np.zeros(nb_all)
+            for (gen, nb_t), grp in tgrp.groupby(["gen", "nb"]):
+                nb_t = int(nb_t)
+                ct = np.zeros(nb_t)
+                ct[grp["salt"].to_numpy()] = grp["count"].to_numpy()
+                ct_full += ct[g % nb_t]
+            present &= ct_full > 0
+        classes = [int(x) for x in np.flatnonzero(present)]
+        if not classes:
+            return empty
+        keys = self._keys_for_classes(meta, classes)
+        segs = self._segments(sorted(set(terms)))
+        key_strs = [f"{t}\x00{gn}\x00{s}" for t, gn, s in keys]
+        segs = segs.filter(
+            F.concat_ws("\x00", F.col("term"), F.col("gen").cast("string"),
+                        F.col("salt").cast("string")).isin(key_strs)
+        )
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = segs.select("term", "gen", "docs_vb", "tfs_vb", "pos_vb") \
+            .coalesce(max(1, par)) \
+            .mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        cur = decoded.filter(F.col("term") == terms[0]).select("doc_id", F.col("pos").alias("p0"))
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = decoded.filter(F.col("term") == t).select(
+                F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(
+                nxt,
+                (F.col("doc_id") == F.col(f"d{i}"))
+                & (F.col(f"p{i}") == F.col("p0") + i),
+            ).drop(f"d{i}")
+        return (
+            cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("phrase_tf"))
+            .orderBy("doc_id")
         )
 
     def term_lookup(self, term: str) -> DataFrame:

@@ -241,6 +241,33 @@ ORDER BY uuid
 """
 
 
+def phrase_match_sql(phrase: str) -> str:
+    """Phrase occurrences per doc: tokens at consecutive positions.
+    Parallel unnest (toks + 0-based position range) zips positionally in
+    DuckDB, mirroring Spark's posexplode."""
+    terms = analyze_query_py(phrase, "simple")
+    conds = " AND ".join(
+        f"p{i}.term = '{t.replace(chr(39), chr(39) * 2)}'" for i, t in enumerate(terms)
+    )
+    joins = "".join(
+        f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        for i in range(1, len(terms))
+    )
+    return f"""
+WITH {TOKENS_CTE},
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM docs
+)
+SELECT p0.doc_id, count(*)::BIGINT AS phrase_tf
+FROM pos p0{joins}
+WHERE {conds}
+GROUP BY p0.doc_id
+ORDER BY p0.doc_id
+"""
+
+
 def corpus_stats_sql() -> str:
     return f"""
 WITH {TOKENS_CTE}

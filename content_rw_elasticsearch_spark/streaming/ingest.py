@@ -92,8 +92,11 @@ def apply_upserts(
     n_deletes = updates.filter(is_deleted).count()
 
     # postings of the new versions → encoded delta segments
+    with_pos = bool(m.get("positions", False))
     tok = P.tokenized(live, text_col, "doc_id", m.get("analyzer", "simple"))
-    post = P.build_postings(tok).withColumn(
+    post = (
+        P.build_positional_postings(tok) if with_pos else P.build_postings(tok)
+    ).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")
     )
     nbs = spark.read.parquet(os.path.join(index_dir, "stats.parquet")).select("term", "nb")
@@ -103,7 +106,7 @@ def apply_upserts(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
     )
     segs = salted.groupBy("term", "salt", "nb").applyInPandas(
-        _encode_group_fn(), SEGMENT_SCHEMA
+        _encode_group_fn(with_pos), SEGMENT_SCHEMA
     )
     segs.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")) \
         .coalesce(2).sortWithinPartitions("bucket", "term", "salt") \
@@ -161,17 +164,42 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
     with open(os.path.join(index_dir, "index.json")) as f:
         m = json.load(f)
     idx = SegmentIndex.load(spark, index_dir)
-    decoded = idx._segments(None) \
-        .select("term", "gen", "docs_vb", "tfs_vb", "dlens_vb") \
-        .mapInPandas(_decode_blocks, _DECODED_SCHEMA)
+    with_pos = bool(m.get("positions", False))
     tomb = idx._tombstones()
-    if tomb is not None:
-        decoded = (
-            decoded.join(F.broadcast(tomb), "doc_id", "left")
+
+    def drop_superseded(df):
+        if tomb is None:
+            return df
+        return (
+            df.join(F.broadcast(tomb), "doc_id", "left")
             .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
             .drop("tgen")
         )
-    post = decoded.select("term", "doc_id", "tf", "doc_len")
+
+    if with_pos:
+        from ..operators.wand import _POS_SCHEMA, _decode_blocks_positions
+
+        pos_rows = drop_superseded(
+            idx._segments(None)
+            .select("term", "gen", "docs_vb", "tfs_vb", "pos_vb")
+            .mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
+        )
+        # re-aggregate per-(term, doc) positions; exact doc_len from the
+        # live docs table
+        doc_lens = spark.read.parquet(os.path.join(index_dir, "docs"))             .select("doc_id", "doc_len")
+        post = (
+            pos_rows.groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions"))
+            .join(doc_lens, "doc_id")
+        )
+    else:
+        decoded = drop_superseded(
+            idx._segments(None)
+            .select("term", "gen", "docs_vb", "tfs_vb", "dlens_vb")
+            .mapInPandas(_decode_blocks, _DECODED_SCHEMA)
+        )
+        post = decoded.select("term", "doc_id", "tf", "doc_len")
     stats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     planned = plan_block_counts(stats, m["target_block"], m["nb_max"])
     tmp_stats = os.path.join(index_dir, "stats.parquet.tmp")
@@ -183,7 +211,7 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
     )
     new_segs = salted.groupBy("term", "salt", "nb").applyInPandas(
-        _encode_group_fn(), SEGMENT_SCHEMA
+        _encode_group_fn(with_pos), SEGMENT_SCHEMA
     ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int"))
     tmp_seg = os.path.join(index_dir, "segments.tmp")
     new_segs.coalesce(4).sortWithinPartitions("bucket", "term", "salt") \
