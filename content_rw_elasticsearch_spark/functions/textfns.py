@@ -53,8 +53,14 @@ def unescape_entities(col: Column) -> Column:
 
 def html_text_chain(col: Column | str) -> Column:
     """The full pinned chain: C1 → C2 → C3 → C4 → C5 → C7 → C8 → C9 → C6.
-    (Entity unescape sits third, mirroring mapper.go:202-211; the final
-    trim is OuterSpaceTrimmer C6, transformer.go:53-55.)"""
+
+    Deliberate divergence from the reference's composition
+    (mapper.go:202-211 applies OuterSpaceTrimmer BEFORE Embed1Replacer /
+    SquaredCaptionReplacer / DuplicateWhiteSpaceRemover, so its output can
+    retain one leading/trailing space when the later stages re-expose
+    whitespace): we move the trim LAST so clean text never carries outer
+    whitespace. Pinned by our composite golden and replayed identically in
+    the DuckDB oracle."""
     c = F.col(col) if isinstance(col, str) else col
     stages = dict((n, (p, r)) for n, p, r in CHAIN_REGEX_STAGES)
     for name in ("interactive_graphics", "pull_tags"):

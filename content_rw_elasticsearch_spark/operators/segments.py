@@ -141,6 +141,111 @@ def _encode_group_fn(with_positions: bool = False):
     return encode
 
 
+def _encode_stream_fn(with_positions: bool = False):
+    """Sorted-stream encoder: mapInPandas over partitions that are
+    repartitioned by (term, salt) and sorted by (term, salt, doc_id).
+    Groups are sliced with numpy boundary detection instead of one Arrow
+    batch per group (applyInPandas) — one Python call per ~10k-row batch
+    regardless of group count, which removes the per-group Arrow overhead
+    that dominated the encode stage for small blocks. A group can span
+    Arrow batches, so the tail group of each batch is carried over."""
+
+    def encode_rows(term, salt, nb, doc_ids, tfs, dls, plists):
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        dls = dls[order]
+        pos_vb = b""
+        if with_positions and plists is not None and doc_ids.size:
+            flat = np.concatenate(
+                [np.asarray(p, dtype=np.uint64) for p in plists[order]]
+            ) if len(plists) else np.empty(0, np.uint64)
+            if flat.size:
+                pos_vb = codec.positions_encode(flat, tfs)
+        return {
+            "term": term, "salt": int(salt), "nb": int(nb),
+            "count": int(doc_ids.size),
+            "max_tf": int(tfs.max()) if tfs.size else 0,
+            "min_dl": int(dls.min()) if dls.size else 1,
+            "docs_vb": codec.delta_encode(doc_ids),
+            "tfs_vb": codec.varbyte_encode(tfs),
+            "dlens_vb": codec.varbyte_encode(dls),
+            "pos_vb": pos_vb,
+        }
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            terms = pdf["term"].to_numpy(dtype=object)
+            salts = pdf["salt"].to_numpy()
+            # group boundaries where (term, salt) changes
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+            ) + 1
+            if change.size == 0:
+                carry = pdf  # whole batch is one (possibly continuing) group
+                continue
+            last_start = int(change[-1])
+            carry = pdf.iloc[last_start:]
+            body = pdf.iloc[:last_start]
+            starts = np.concatenate(([0], change[:-1]))
+            ends = change
+            doc_ids = body["doc_id"].to_numpy(dtype=np.uint64)
+            tfs = body["tf"].to_numpy(dtype=np.uint64)
+            dls = body["doc_len"].to_numpy(dtype=np.uint64)
+            plists = (
+                body["positions"].to_numpy(dtype=object)
+                if with_positions and "positions" in body.columns else None
+            )
+            out = [
+                encode_rows(
+                    body["term"].iat[s], body["salt"].iat[s], body["nb"].iat[s],
+                    doc_ids[s:e], tfs[s:e], dls[s:e],
+                    plists[s:e] if plists is not None else None,
+                )
+                for s, e in zip(starts, ends)
+            ]
+            yield pd.DataFrame(out)
+        if carry is not None and not carry.empty:
+            plists = (
+                carry["positions"].to_numpy(dtype=object)
+                if with_positions and "positions" in carry.columns else None
+            )
+            yield pd.DataFrame([
+                encode_rows(
+                    carry["term"].iat[0], carry["salt"].iat[0], carry["nb"].iat[0],
+                    carry["doc_id"].to_numpy(dtype=np.uint64),
+                    carry["tf"].to_numpy(dtype=np.uint64),
+                    carry["doc_len"].to_numpy(dtype=np.uint64),
+                    plists,
+                )
+            ])
+
+    return run
+
+
+def encode_segments(salted: DataFrame, with_positions: bool = False,
+                    partitions: int | None = None) -> DataFrame:
+    """salted postings (term, salt, nb, doc_id, tf, doc_len[, positions])
+    → segment rows, via the sorted-stream encoder."""
+    spark = salted.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    cols = ["term", "salt", "nb", "doc_id", "tf", "doc_len"] + (
+        ["positions"] if with_positions else []
+    )
+    return (
+        salted.select(*cols)
+        .repartition(parts, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(_encode_stream_fn(with_positions), SEGMENT_SCHEMA)
+    )
+
+
 def _write_json_atomic(path: str, payload: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -182,7 +287,10 @@ def build_segments(
         t0 = time.time()
         # persist the tokenized pass: postings, docs table, and corpus
         # stats all derive from it — without the persist the (expensive)
-        # tokenize would run three times
+        # tokenize would run three times. (A single-pass explode_outer +
+        # docs-from-staging-distinct variant was tried and measured WORSE
+        # at low core counts: the distinct is a full-staging shuffle,
+        # pricier than the persisted select.)
         tok = P.tokenized(corpus, text_col, doc_col, analyzer).persist()
         post = (
             P.build_positional_postings(tok) if with_positions else P.build_postings(tok)
@@ -195,6 +303,8 @@ def build_segments(
         staged = spark.read.parquet(staging_dir)
         plan_block_counts(
             P.term_stats(staged), target_block, nb_max
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         ).write.mode("overwrite").parquet(stats_path)
         # docs table: exact N/avgdl bookkeeping, updated by deltas (gen 0)
         tok.select("doc_id", "doc_len").withColumn(
@@ -229,15 +339,14 @@ def build_segments(
     # wall-clock loss at local[32]). Resumability is unchanged: one
     # manifest per bucket, committed last, skipped when present.
     #
-    # Per-bucket posting counts come from ONE staging aggregation for all
-    # buckets (the encoder preserves posting counts exactly), and block
-    # counts from parquet footers via pyarrow — not from 2 extra Spark
-    # jobs per bucket, which were a measurable serial (Amdahl) term in
-    # the whole-build scaling ratio.
+    # Per-bucket posting counts come from the (small) stats parquet — the
+    # encoder preserves posting counts exactly and Σ df per bucket equals
+    # them — and block counts from parquet footers via pyarrow: no extra
+    # Spark jobs per bucket (a measured Amdahl serial term).
     bucket_postings = {
         int(r["bucket"]): int(r["n"])
-        for r in spark.read.parquet(staging_dir)
-        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in spark.read.parquet(stats_path)
+        .groupBy("bucket").agg(F.sum("df").alias("n")).collect()
     }
 
     def build_bucket(i: int) -> dict:
@@ -254,9 +363,7 @@ def build_segments(
         salted = staged.join(F.broadcast(nbs), "term").withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
         )
-        segs = salted.groupBy("term", "salt", "nb").applyInPandas(
-            _encode_group_fn(stage1.get("positions", False)), SEGMENT_SCHEMA
-        )
+        segs = encode_segments(salted, stage1.get("positions", False))
         # coalesce, NOT repartitionByRange: range partitioning samples
         # boundaries by re-executing the whole upstream encode twice per
         # bucket (measured 3x stage-2 wall-clock). The local sort alone

@@ -163,7 +163,7 @@ FROM (
               WHEN 'ContentPackage' THEN 'article' ELSE '' END AS content_type,
          CASE WHEN body = '' THEN body_xml ELSE body END AS body2
   FROM enriched
-  WHERE tid NOT LIKE 'SYNTHETIC-REQ-MON%'
+  WHERE tid NOT LIKE '%SYNTHETIC-REQ-MON%'
     AND NOT marked_deleted
     AND type IN ('Article','Video','MediaResource','Audio','ContentPackage','')
 )
@@ -182,7 +182,7 @@ def delete_set_sql() -> str:
     return f"""
 WITH {ENRICHED_CTE}
 SELECT uuid FROM enriched
-WHERE tid NOT LIKE 'SYNTHETIC-REQ-MON%' AND marked_deleted
+WHERE tid NOT LIKE '%SYNTHETIC-REQ-MON%' AND marked_deleted
 ORDER BY uuid
 """
 

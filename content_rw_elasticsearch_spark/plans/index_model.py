@@ -87,8 +87,9 @@ def to_index_model(enriched: DataFrame,
     coll_map = F.create_map(*[F.lit(x) for kv in COLLECTION_BY_CONTENT_TYPE.items() for x in kv])
     return (
         enriched
-        # B1 synthetic-tid gate (message_handler.go:79-82)
-        .filter(~F.col("tid").startswith(SYNTHETIC_PREFIX))
+        # B1 synthetic-tid gate (message_handler.go:79-82 —
+        # strings.Contains, not a prefix match)
+        .filter(~F.col("tid").contains(SYNTHETIC_PREFIX))
         # delete short-circuit happens BEFORE mapping (message_handler.go:112-120)
         .filter(~F.col("marked_deleted"))
         # B2 bodyXML fallback (message_handler.go:91-94)
@@ -117,7 +118,7 @@ def delete_set(enriched: DataFrame) -> DataFrame:
     """A5 delete path (message_handler.go:112-120, es/service.go:130-138):
     uuids to delete, post synthetic gate."""
     return (
-        enriched.filter(~F.col("tid").startswith(SYNTHETIC_PREFIX))
+        enriched.filter(~F.col("tid").contains(SYNTHETIC_PREFIX))
         .filter(F.col("marked_deleted"))
         .select("uuid")
         .orderBy("uuid")

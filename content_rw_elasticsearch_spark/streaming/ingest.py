@@ -44,8 +44,8 @@ from pyspark.sql import functions as F
 from ..operators import postings as P
 from ..operators.segments import (
     SEGMENT_SCHEMA,
-    _encode_group_fn,
     _write_json_atomic,
+    encode_segments,
     plan_block_counts,
 )
 
@@ -105,9 +105,7 @@ def apply_upserts(
     ).withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
     )
-    segs = salted.groupBy("term", "salt", "nb").applyInPandas(
-        _encode_group_fn(with_pos), SEGMENT_SCHEMA
-    )
+    segs = encode_segments(salted, with_pos, partitions=2)
     segs.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")) \
         .coalesce(2).sortWithinPartitions("bucket", "term", "salt") \
         .write.partitionBy("bucket").parquet(os.path.join(delta_dir, "segments"))
@@ -210,9 +208,7 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
     ).withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
     )
-    new_segs = salted.groupBy("term", "salt", "nb").applyInPandas(
-        _encode_group_fn(with_pos), SEGMENT_SCHEMA
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int"))
+    new_segs = encode_segments(salted, with_pos).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int"))
     tmp_seg = os.path.join(index_dir, "segments.tmp")
     new_segs.coalesce(4).sortWithinPartitions("bucket", "term", "salt") \
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp_seg)

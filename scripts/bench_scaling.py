@@ -37,8 +37,13 @@ def run_one(cpus: int, n_docs: int) -> dict:
         SPARK_GRAFT_SYNTH_DOCS=str(n_docs),
         SPARK_DRIVER_MEM="48g",
     )
+    # taskset pins the WHOLE process tree (JVM + python UDF workers) to
+    # exactly `cpus` host cores — local[N] alone caps only JVM task slots,
+    # letting python workers spill onto extra host cores and distorting
+    # the N-vs-4N comparison
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])

@@ -50,7 +50,7 @@ def test_drop_paths(enriched):
     for doc_id, row in src.items():
         uuid = row["uuid"]
         expect_dropped = (
-            row["tid"].startswith(IM.SYNTHETIC_PREFIX)      # B1
+            IM.SYNTHETIC_PREFIX in row["tid"]               # B1
             or row["marked_deleted"]                         # delete path
             or row["type"] not in IM.ALLOWED_TYPES           # B3
             or IM.CONTENT_TYPE_BY_TYPE.get(row["type"], "") == ""  # B4/B5
@@ -68,7 +68,7 @@ def test_delete_set_excludes_synthetic(enriched):
     dels = {r["uuid"] for r in IM.delete_set(enriched).collect()}
     src = enriched.collect()
     for row in src:
-        should = row["marked_deleted"] and not row["tid"].startswith(IM.SYNTHETIC_PREFIX)
+        should = row["marked_deleted"] and IM.SYNTHETIC_PREFIX not in row["tid"]
         assert (row["uuid"] in dels) == should
 
 
