@@ -113,6 +113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         out[f"segment_{name}"] = functools.partial(_wand_query, name, False)
         out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
+    # NOT semantics (§2.G): AND query minus docs containing excluded terms
+    def _bm25_not(spark, sf_dir):
+        from content_rw_elasticsearch_spark.operators.bm25 import bm25_topk
+        idx = _index_for(spark, sf_dir)
+        return bm25_topk(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
+                         "hash join", k=10, mode="AND", not_terms=["row"])
+
+    out["bm25_not"] = _bm25_not
     out["phrase_two"] = functools.partial(_phrase_query, "hash join")
     out["phrase_three"] = functools.partial(_phrase_query, "customer data group")
     out["index_term_postings"] = _term_postings
@@ -177,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         sql = oracle.bm25_topk_sql(spec["query"], k=spec["k"], mode=spec["mode"])
         out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
+    out["bm25_not"] = oracle.bm25_topk_sql("hash join", k=10, mode="AND",
+                                           not_terms=["row"])
     out["phrase_two"] = oracle.phrase_match_sql("hash join")
     out["phrase_three"] = oracle.phrase_match_sql("customer data group")
     out["index_term_postings"] = oracle.term_postings_sql("dup")

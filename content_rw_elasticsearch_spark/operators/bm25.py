@@ -13,7 +13,7 @@ Query modes (reference analog: ES bool query over the `_all` field):
           doc_id, expressed as groupBy(doc_id) + HAVING count = |terms|
           (one shuffle instead of |terms|−1 pairwise joins).
     OR  — union = same aggregation without the HAVING.
-    NOT — left_anti join (set difference), see ``exclude_terms``.
+    NOT — left_anti join before the top-k cut (``not_terms`` parameter).
 
 Physical shape, and why it scales:
   * per-query term stats are a |q|-row DataFrame → explicit broadcast join;
@@ -59,9 +59,12 @@ def bm25_topk(
     k: int = 10,
     mode: str = "AND",
     analyzer: str = "simple",
+    not_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for one query over a (term, doc_id, tf, doc_len)
-    postings DataFrame. `stats` is the (term, df) table.
+    postings DataFrame. `stats` is the (term, df) table. ``not_terms``
+    excludes docs containing any of them (left_anti set difference,
+    SURVEY.md §2.G) BEFORE the top-k cut, so the result still fills k.
 
     Output schema: (doc_id, score) with score rounded to ROUND_DECIMALS,
     ordered by (score desc, doc_id asc) — deterministic, oracle-comparable.
@@ -85,18 +88,13 @@ def bm25_topk(
     )
     if mode.upper() == "AND":
         scored = scored.filter(F.col("nterms") == len(terms))
+    if not_terms:
+        neg = postings.filter(
+            F.col("term").isin(sorted(set(not_terms)))
+        ).select("doc_id").distinct()
+        scored = scored.join(neg, "doc_id", "left_anti")
     return (
         scored.select("doc_id", F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
-
-
-def exclude_terms(
-    result: DataFrame, postings: DataFrame, not_terms: list[str]
-) -> DataFrame:
-    """NOT semantics: drop docs containing any excluded term (left_anti)."""
-    if not not_terms:
-        return result
-    neg = postings.filter(F.col("term").isin(list(set(not_terms)))).select("doc_id")
-    return result.join(neg, "doc_id", "left_anti")

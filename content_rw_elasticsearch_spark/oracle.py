@@ -36,12 +36,20 @@ def _sql_str_list(terms: list[str]) -> str:
     return f"[{inner}]"
 
 
-def bm25_topk_sql(query: str, k: int = 10, mode: str = "AND") -> str:
+def bm25_topk_sql(query: str, k: int = 10, mode: str = "AND",
+                  not_terms: list[str] | None = None) -> str:
     """DuckDB SQL computing the same top-k as operators/bm25.bm25_topk."""
     terms = sorted(set(analyze_query_py(query, "simple")))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
     having = f"HAVING count(*) = {len(terms)}" if mode.upper() == "AND" else ""
+    not_clause = ""
+    if not_terms:
+        lst = _sql_str_list(sorted(set(not_terms)))
+        not_clause = (
+            "AND doc_id NOT IN (SELECT doc_id FROM post "
+            f"WHERE term IN (SELECT unnest({lst})))"
+        )
     return f"""
 WITH {TOKENS_CTE},
 qt AS (SELECT unnest({_sql_str_list(terms)}) AS term),
@@ -63,6 +71,7 @@ scored AS (
 )
 SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score
 FROM scored
+WHERE TRUE {not_clause}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
