@@ -121,6 +121,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          "hash join", k=10, mode="AND", not_terms=["row"])
 
     out["bm25_not"] = _bm25_not
+
+    # code-aware Arrow analyzer end-to-end (camelCase/snake splitting +
+    # ascii folding preserve-original); rows-only — the identifier
+    # splitting is not expressible in the SQL oracle subset
+    def _bm25_code_analyzer(spark, sf_dir):
+        key = (id(spark), sf_dir, "code")
+        if key not in _INDEX_CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            _INDEX_CACHE[key] = InMemoryIndex.build(
+                docs, text_col="text", doc_col="doc_id", analyzer="code"
+            )
+        return _INDEX_CACHE[key].search("hash join", k=10, mode="AND")
+
+    out["bm25_code_analyzer"] = _bm25_code_analyzer
     out["phrase_two"] = functools.partial(_phrase_query, "hash join")
     out["phrase_three"] = functools.partial(_phrase_query, "customer data group")
     out["index_term_postings"] = _term_postings
