@@ -142,15 +142,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["index_corpus_stats"] = _corpus_stats
     # IndexModel ETL (reference pkg/mapper + pkg/message parity, SURVEY §2.B/C/E)
     out["etl_index_model"] = lambda s, d: IM.to_index_model(
-        IM.enriched_from_documents(s, d)).orderBy("uuid")
+        IM.enriched_from_documents(s, d)).orderBy("uid")
     out["etl_delete_set"] = lambda s, d: IM.delete_set(IM.enriched_from_documents(s, d))
     out["etl_routing_counts"] = lambda s, d: IM.routing_counts(
         IM.enriched_from_documents(s, d))
     out["etl_people_buckets"] = lambda s, d: IM.annotation_buckets(
-        IM.annotations_from_documents(s, d), "PERSON", "cmr_people")
+        IM.annotations_from_documents(s, d), "PERSON", "cmr_people", joined=True)
     out["etl_topic_buckets"] = lambda s, d: IM.annotation_buckets(
-        IM.annotations_from_documents(s, d), "TOPIC", "cmr_topics")
+        IM.annotations_from_documents(s, d), "TOPIC", "cmr_topics", joined=True)
     out["etl_primary_theme"] = lambda s, d: IM.primary_theme(
+        IM.annotations_from_documents(s, d))
+    # E4 section accumulation + E6 author gating (mapper.go:272-291, :107-124)
+    out["etl_sections"] = lambda s, d: IM.section_accumulation(
+        IM.annotations_from_documents(s, d))
+    out["etl_authors"] = lambda s, d: IM.author_buckets(
         IM.annotations_from_documents(s, d))
     out["etl_cmr_id_fallback"] = lambda s, d: IM.cmr_id_fallback(
         IM.annotations_from_documents(s, d))
@@ -212,6 +217,8 @@ def oracle_sql() -> dict[str, str]:
     out["etl_people_buckets"] = oracle.annotation_buckets_sql("PERSON", "cmr_people")
     out["etl_topic_buckets"] = oracle.annotation_buckets_sql("TOPIC", "cmr_topics")
     out["etl_primary_theme"] = oracle.primary_theme_sql()
+    out["etl_sections"] = oracle.sections_sql()
+    out["etl_authors"] = oracle.authors_sql()
     out["etl_cmr_id_fallback"] = oracle.cmr_id_fallback_sql()
     out["join_region_revenue"] = R.region_revenue_sql()
     out["window_top3_orders"] = R.top3_orders_per_customer_sql()

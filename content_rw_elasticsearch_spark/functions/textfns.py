@@ -73,10 +73,27 @@ def html_text_chain(col: Column | str) -> Column:
     return F.trim(c)
 
 
+def title_text_chain(col: Column | str) -> Column:
+    """The SHORT chain used for lead_headline and byline
+    (mapper.go:183-193): EntityTransformer → TagsRemover →
+    OuterSpaceTrimmer → DuplicateWhiteSpaceRemover. Trim/dedupe order is
+    commutative here (TrimSpace strips all outer whitespace), so the
+    composition below is exactly the reference's result."""
+    c = F.col(col) if isinstance(col, str) else col
+    stages = dict((n, (p, r)) for n, p, r in CHAIN_REGEX_STAGES)
+    c = unescape_entities(c)
+    p, r = stages["all_tags"]
+    c = F.regexp_replace(c, p, r)
+    p, r = stages["whitespace"]
+    return F.trim(F.regexp_replace(c, p, r))
+
+
 def web_url(uuid_col: Column, prefix: str = "https://www.ft.com/content/") -> Column:
     """URL templating — reference pkg/mapper/mapper.go:20-23,258-261."""
     return F.concat(F.lit(prefix), uuid_col)
 
 
-def api_url(uuid_col: Column, base: str = "http://api.ft.com") -> Column:
+def api_url(uuid_col: Column, base: str = "https://api.ft.com") -> Column:
+    """model_api_url — the reference upgrades an http:// BaseAPIURL to
+    https before templating (mapper.go:57-59, :261)."""
     return F.concat(F.lit(base + "/content/"), uuid_col)

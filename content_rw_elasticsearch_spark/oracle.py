@@ -97,7 +97,33 @@ HAVING count(*) >= {min_df} ORDER BY term
 # IndexModel ETL oracles (plans/index_model.py counterparts)
 # ---------------------------------------------------------------------------
 
-ENRICHED_CTE = """
+from .plans.index_model import (  # noqa: E402  (shared constants — no drift)
+    ALLOWED_TYPES,
+    AUTHOR_PREDICATES,
+    B64_TAXONOMY,
+    CONTENT_METADATA,
+    ES_CT_META,
+    IMAGE_PLACEHOLDER,
+    IMAGE_SERVICE_URL,
+    PAC_ORIGIN,
+    PRIMARY_SECTION_PREDICATE,
+    SECTION_PREDICATES,
+    SKIP_PREDICATES,
+    THEME_TAXONOMY_BY_TYPE,
+    _CONCEPT_TYPES6,
+    _PREDICATES10,
+)
+
+
+def _strs(xs) -> str:
+    return "[" + ", ".join("'" + x.replace("'", "''") + "'" for x in xs) + "]"
+
+
+def _in(xs) -> str:
+    return "(" + ", ".join("'" + x.replace("'", "''") + "'" for x in xs) + ")"
+
+
+ENRICHED_CTE = f"""
 enriched AS (
   SELECT doc_id, text,
          md5(CAST(doc_id AS VARCHAR)) AS uuid,
@@ -106,29 +132,81 @@ enriched AS (
          list_extract(['Article','Video','MediaResource','Audio','ContentPackage','Weird',''],
                       CAST(doc_id % 7 + 1 AS INT)) AS type,
          array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
-         CASE WHEN doc_id % 11 = 0 THEN '' ELSE '<p>' || text || '</p>' END AS body,
-         CASE WHEN doc_id % 11 = 0
+         CASE WHEN doc_id % 41 = 3 THEN ''
+              WHEN doc_id % 11 = 0 THEN ''
+              ELSE '<p>' || text || '</p>' END AS body,
+         CASE WHEN doc_id % 41 = 3 THEN ''
+              WHEN doc_id % 11 = 0
               THEN '<body><script type="x">junk</script>' || text
                    || '&nbsp;[caption id="a"]cap[/caption] embed1</body>'
               ELSE '' END AS body_xml,
-         strftime(TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id),
-                  '%Y-%m-%dT%H:%M:%S') || '.000Z' AS published_date,
+         CASE WHEN doc_id % 13 = 0 THEN 'application/vnd.ft-upp-audio+json'
+              WHEN doc_id % 13 = 1 THEN 'application/vnd.ft-upp-article+json'
+              ELSE '' END AS ct_header,
+         coalesce(list_extract({_strs([a for a, _, _ in CONTENT_METADATA])},
+                               CAST(doc_id % 17 + 1 AS INT)), '') AS authority,
+         coalesce(list_extract({_strs([o for _, o, _ in CONTENT_METADATA])},
+                               CAST(doc_id % 19 + 1 AS INT)),
+                  CASE WHEN doc_id % 19 = 5 THEN '{PAC_ORIGIN}'
+                       ELSE 'unknown-origin' END) AS origin,
+         CASE WHEN doc_id % 4 = 0 THEN ''
+              ELSE 'By <b>Author ' || CAST(doc_id % 50 AS VARCHAR) || '</b> &amp; staff'
+              END AS byline,
+         CASE WHEN doc_id % 6 = 0 THEN ''
+              ELSE 'Standfirst ' || CAST(doc_id % 30 AS VARCHAR) END AS standfirst,
+         'Plain description ' || CAST(doc_id AS VARCHAR) AS description,
+         doc_id % 9 = 0 AS scoop,
+         list_extract(['yes','no','verify'], CAST(doc_id % 4 + 1 AS INT)) AS can_be_syndicated,
+         list_extract(['yes','no'], CAST(doc_id % 3 + 1 AS INT)) AS can_be_distributed,
+         CASE WHEN doc_id % 23 = 0 THEN ''
+              ELSE strftime(TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id),
+                            '%Y-%m-%dT%H:%M:%S') || '.000Z' END AS published_date,
+         CASE WHEN doc_id % 29 = 0 THEN ''
+              ELSE strftime(TIMESTAMP '2023-12-01 00:00:00' + to_minutes(doc_id),
+                            '%Y-%m-%dT%H:%M:%S') || '.000Z' END AS first_published_date,
+         CASE WHEN doc_id % 5 = 0 THEN ''
+              ELSE 'http://api.ft.com/content/' || md5(CAST(doc_id AS VARCHAR) || 'img')
+              END AS main_image,
+         list_extract(['video/mp4','audio/mp3','text/html'],
+                      CAST(doc_id % 3 + 1 AS INT)) AS media_type,
+         CAST(doc_id * 37 % 600000 AS INT) AS duration,
          doc_id % 97 = 0 AS marked_deleted
   FROM documents
 )
 """
 
-ANN_CTE = ENRICHED_CTE.rstrip() + """,
-ann AS (
-  SELECT uuid, pos AS ann_pos,
-         list_extract(string_split(text, ' '), pos * 3) AS concept_id,
-         list_extract(['about','mentions','isClassifiedBy','hasDisplayTag','majorMentions'],
-                      CAST((doc_id + pos) % 5 + 1 AS INT)) AS predicate,
-         list_extract(['PERSON','ORGANISATION','LOCATION','TOPIC','GENRE','BRAND'],
-                      CAST((doc_id * pos) % 6 + 1 AS INT)) AS concept_type
+
+def _tme_case(mod: str, eq: int, sfx: str) -> str:
+    return (f"CASE WHEN (doc_id + 31*pos) % {mod} = {eq} "
+            f"THEN 'tme-' || CAST(doc_id + 31*pos AS VARCHAR) || '{sfx}' END")
+
+
+ANN_CTE = ENRICHED_CTE.rstrip() + f""",
+ann0 AS (
+  SELECT uuid, doc_id, pos,
+         list_extract(string_split(text, ' '), pos * 3) AS cid,
+         list_filter([
+           {_tme_case('3', 0, B64_TAXONOMY['PN'])},
+           {_tme_case('4', 0, B64_TAXONOMY['Authors'])},
+           {_tme_case('5', 0, B64_TAXONOMY['Sections'])},
+           {_tme_case('7', 2, B64_TAXONOMY['ON'])},
+           {_tme_case('7', 4, B64_TAXONOMY['Topics'])},
+           {_tme_case('7', 6, B64_TAXONOMY['GL'])},
+           {_tme_case('2', 0, 'xq')}
+         ], x -> x IS NOT NULL) AS tme_ids
   FROM enriched, (SELECT unnest([1, 2, 3]) AS pos)
   WHERE list_extract(string_split(text, ' '), pos * 3) IS NOT NULL
     AND list_extract(string_split(text, ' '), pos * 3) <> ''
+),
+ann AS (
+  SELECT uuid, pos AS ann_pos, cid AS concept_id,
+         'P-' || cid AS pref_label,
+         list_extract({_strs(_PREDICATES10)},
+                      CAST((doc_id + 5*pos) % 10 + 1 AS INT)) AS predicate,
+         list_extract({_strs(_CONCEPT_TYPES6)},
+                      CAST((doc_id * pos) % 6 + 1 AS INT)) AS concept_type,
+         list_concat([cid], tme_ids) AS ann_ids
+  FROM ann0
 )
 """
 
@@ -155,52 +233,116 @@ def _html_chain_sql(expr: str) -> str:
     return f"trim({e})"
 
 
-_INDEX_MODEL_BODY = """
-SELECT uuid,
-       CASE content_type WHEN 'article' THEN 'FTCom' WHEN 'video' THEN 'FTVideos'
-            WHEN 'audio' THEN 'FTAudios' END AS collection,
-       content_type, title,
-       {clean_body} AS clean_body,
-       'https://www.ft.com/content/' || uuid AS web_url,
-       'http://api.ft.com/content/' || uuid AS api_url,
-       published_date,
-       '{index_date}' AS index_date
-FROM (
-  SELECT *,
-         CASE type WHEN 'Article' THEN 'article' WHEN 'Video' THEN 'video'
-              WHEN 'MediaResource' THEN 'video' WHEN 'Audio' THEN 'audio'
-              WHEN 'ContentPackage' THEN 'article' ELSE '' END AS content_type,
-         CASE WHEN body = '' THEN body_xml ELSE body END AS body2
-  FROM enriched
-  WHERE tid NOT LIKE '%SYNTHETIC-REQ-MON%'
-    AND NOT marked_deleted
-    AND type IN ('Article','Video','MediaResource','Audio','ContentPackage','')
+def _title_chain_sql(expr: str) -> str:
+    """Replay functions/textfns.title_text_chain (the lead_headline/byline
+    short chain, mapper.go:183-193) in DuckDB SQL."""
+    from .functions.textfns import CHAIN_REGEX_STAGES, ENTITY_REPLACEMENTS
+
+    stages = {n: (p, r) for n, p, r in CHAIN_REGEX_STAGES}
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    e = expr
+    for old, new in ENTITY_REPLACEMENTS:
+        e = f"replace({e}, '{q(old)}', '{q(new)}')"
+    for name in ("all_tags", "whitespace"):
+        p, r = stages[name]
+        e = f"regexp_replace({e}, '{q(p)}', '{q(r)}', 'g')"
+    return f"trim({e})"
+
+
+def _content_type_case() -> str:
+    """B4 3-stage inference (message_handler.go:137-160) as one CASE."""
+    lines = [
+        "CASE WHEN contains(ct_header, 'ft-upp-audio') THEN 'audio'",
+        "     WHEN contains(ct_header, 'ft-upp-article') THEN 'article'",
+    ]
+    for auth, _, ct in CONTENT_METADATA:
+        lines.append(f"     WHEN contains(authority, '{auth}') THEN '{ct}'")
+    for _, origin, ct in CONTENT_METADATA:
+        lines.append(f"     WHEN contains(origin, '{origin}') THEN '{ct}'")
+    lines.append("     ELSE '' END")
+    return "\n".join(lines)
+
+
+def _es_meta_case(idx: int) -> str:
+    whens = " ".join(
+        f"WHEN '{ct}' THEN '{meta[idx]}'" for ct, meta in ES_CT_META.items()
+    )
+    return f"CASE content_type {whens} END"
+
+
+# B1→B5 gates shared by write + delete paths (message_handler.go:69-110)
+def _gated_cte() -> str:
+    return f"""
+g AS (
+  SELECT *
+  FROM (
+    SELECT *, {_content_type_case()} AS content_type,
+           CASE WHEN body = '' THEN body_xml ELSE body END AS body2
+    FROM enriched
+    WHERE tid NOT LIKE '%SYNTHETIC-REQ-MON%'
+      AND type IN {_in(ALLOWED_TYPES)}
+  )
+  WHERE content_type <> '' OR origin = '{PAC_ORIGIN}'
 )
-WHERE uuid <> '' AND content_type <> ''
 """
 
 
 def index_model_sql(index_date: str = "2026-01-01T00:00:00.000Z") -> str:
-    body = _INDEX_MODEL_BODY.format(
-        clean_body=_html_chain_sql("body2"), index_date=index_date
-    )
-    return f"WITH {ENRICHED_CTE} {body} ORDER BY uuid"
+    img = IMAGE_SERVICE_URL
+    return f"""
+WITH {ENRICHED_CTE}, {_gated_cte()}
+SELECT uuid AS uid,
+       {_es_meta_case(0)} AS collection,
+       content_type,
+       content_type AS internal_content_type,
+       {_es_meta_case(2)} AS category,
+       {_es_meta_case(1)} AS format,
+       {_title_chain_sql('title')} AS lead_headline,
+       {_title_chain_sql('byline')} AS byline,
+       CASE WHEN body2 <> '' THEN {_html_chain_sql('body2')}
+            ELSE description END AS body,
+       scoop, can_be_syndicated, can_be_distributed,
+       nullif(published_date, '') AS last_publish,
+       nullif(first_published_date, '') AS initial_publish,
+       standfirst AS short_description,
+       CASE WHEN content_type <> 'blog' AND main_image <> ''
+            THEN replace('{img}', '{IMAGE_PLACEHOLDER}',
+                         string_split(main_image, '/')[-1]) END AS thumbnail_url,
+       CAST(CASE WHEN content_type = 'video' AND starts_with(media_type, 'video')
+                 THEN duration
+                 WHEN content_type = 'audio' THEN duration
+                 ELSE 0 END AS INT) AS length_millis,
+       'https://www.ft.com/content/' || uuid AS url,
+       'https://api.ft.com/content/' || uuid AS model_api_url,
+       tid AS publish_reference,
+       '{index_date}' AS index_date,
+       FALSE AS mark_deleted, FALSE AS best_story, FALSE AS lookup_failure,
+       CAST(NULL AS INT) AS story_id, CAST(NULL AS INT) AS storymodel_id
+FROM g
+WHERE NOT marked_deleted AND uuid <> '' AND content_type <> ''
+ORDER BY uuid
+"""
 
 
 def delete_set_sql() -> str:
     return f"""
-WITH {ENRICHED_CTE}
-SELECT uuid FROM enriched
-WHERE tid NOT LIKE '%SYNTHETIC-REQ-MON%' AND marked_deleted
+WITH {ENRICHED_CTE}, {_gated_cte()}
+SELECT uuid, coalesce({_es_meta_case(0)}, '') AS collection
+FROM g WHERE marked_deleted
 ORDER BY uuid
 """
 
 
 def routing_counts_sql() -> str:
-    body = _INDEX_MODEL_BODY.format(clean_body="''", index_date="x")
     return f"""
-WITH {ENRICHED_CTE}
-SELECT collection, count(*)::BIGINT AS n FROM ({body}) GROUP BY collection ORDER BY collection
+WITH {ENRICHED_CTE}, {_gated_cte()}
+SELECT {_es_meta_case(0)} AS collection, count(*)::BIGINT AS n
+FROM g
+WHERE NOT marked_deleted AND uuid <> '' AND content_type <> ''
+GROUP BY collection ORDER BY collection
 """
 
 
@@ -214,7 +356,8 @@ fp AS (
     AND concept_type = '{concept_type}'
   GROUP BY uuid, concept_id
 )
-SELECT uuid, list(concept_id ORDER BY p, concept_id) AS {out_col}
+SELECT uuid,
+       array_to_string(list(concept_id ORDER BY p, concept_id), '|') AS {out_col}
 FROM fp GROUP BY uuid ORDER BY uuid
 """
 
@@ -240,12 +383,124 @@ FROM ids2 ORDER BY uuid
 
 
 def primary_theme_sql() -> str:
+    tax_whens = " ".join(
+        f"WHEN '{ct}' THEN '{B64_TAXONOMY[tax]}'"
+        for ct, tax in THEME_TAXONOMY_BY_TYPE.items()
+    )
     return f"""
 WITH {ANN_CTE}
-SELECT uuid, concept_id AS cmr_primarytheme
-FROM ann
-WHERE predicate = 'about'
+SELECT uuid, pref_label AS cmr_primarytheme,
+       coalesce(list_filter(ann_ids, x -> ends_with(x, sfx))[1],
+                ann_ids[2], ann_ids[1]) AS cmr_primarytheme_id
+FROM (
+  SELECT *, CASE concept_type {tax_whens} END AS sfx
+  FROM ann
+  WHERE predicate = 'about'
+    AND concept_type IN {_in(list(THEME_TAXONOMY_BY_TYPE))}
+)
 QUALIFY row_number() OVER (PARTITION BY uuid ORDER BY ann_pos) = 1
+ORDER BY uuid
+"""
+
+
+def sections_sql() -> str:
+    """E4 handleSectionMapping oracle (mapper.go:272-291)."""
+    sfx = B64_TAXONOMY["Sections"]
+    preds = _in(SECTION_PREDICATES + [PRIMARY_SECTION_PREDICATE])
+    return f"""
+WITH {ANN_CTE},
+sec AS (SELECT * FROM ann WHERE predicate IN {preds}),
+labels AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_sections
+  FROM (SELECT uuid, pref_label AS e, min(ann_pos) AS o
+        FROM sec GROUP BY uuid, pref_label)
+  GROUP BY uuid
+),
+idsx AS (
+  SELECT uuid, ann_pos * 100 + i AS o, id
+  FROM (SELECT uuid, ann_pos,
+               unnest(ann_ids) AS id,
+               unnest(range(len(ann_ids))) AS i
+        FROM sec)
+),
+ids AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_sections_ids
+  FROM (SELECT uuid, id AS e, min(o) AS o FROM idsx GROUP BY uuid, id)
+  GROUP BY uuid
+),
+prim AS (
+  SELECT uuid, pref_label AS cmr_primarysection,
+         coalesce(list_filter(ann_ids, x -> ends_with(x, '{sfx}'))[1],
+                  ann_ids[2], ann_ids[1]) AS cmr_primarysection_id
+  FROM sec WHERE predicate = '{PRIMARY_SECTION_PREDICATE}'
+  QUALIFY row_number() OVER (PARTITION BY uuid ORDER BY ann_pos DESC) = 1
+)
+SELECT uuid, cmr_sections, cmr_sections_ids, cmr_primarysection, cmr_primarysection_id
+FROM labels JOIN ids USING (uuid) LEFT JOIN prim USING (uuid)
+ORDER BY uuid
+"""
+
+
+def authors_sql() -> str:
+    """E6 author-gating oracle (mapper.go:107-124)."""
+    psfx, asfx = B64_TAXONOMY["PN"], B64_TAXONOMY["Authors"]
+    return f"""
+WITH {ANN_CTE},
+per AS (
+  SELECT *,
+         list_filter(ann_ids, x -> ends_with(x, '{asfx}'))[1] AS author_id,
+         len(list_filter(ann_ids, x -> ends_with(x, '{psfx}'))) > 0 AS person_found
+  FROM ann
+  WHERE concept_type = 'PERSON' AND predicate NOT IN {_in(SKIP_PREDICATES)}
+),
+ppl_rows AS (SELECT * FROM per WHERE person_found OR author_id IS NULL),
+ppl AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_people
+  FROM (SELECT uuid, pref_label AS e, min(ann_pos) AS o
+        FROM ppl_rows GROUP BY uuid, pref_label)
+  GROUP BY uuid
+),
+ppl_ids AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_people_ids
+  FROM (SELECT uuid, id AS e, min(o) AS o
+        FROM (SELECT uuid, ann_pos * 100 + i AS o, id
+              FROM (SELECT uuid, ann_pos, unnest(ann_ids) AS id,
+                           unnest(range(len(ann_ids))) AS i
+                    FROM ppl_rows))
+        GROUP BY uuid, id)
+  GROUP BY uuid
+),
+auth_rows AS (
+  SELECT * FROM per
+  WHERE predicate IN {_in(AUTHOR_PREDICATES)} AND author_id IS NOT NULL
+),
+auth AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_authors
+  FROM (SELECT uuid, pref_label AS e, min(ann_pos) AS o
+        FROM auth_rows GROUP BY uuid, pref_label)
+  GROUP BY uuid
+),
+auth_ids AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_authors_ids
+  FROM (SELECT uuid, id AS e, min(o) AS o
+        FROM (SELECT uuid, ann_pos * 10 + i AS o, id
+              FROM (SELECT uuid, ann_pos,
+                           unnest([author_id, concept_id]) AS id,
+                           unnest([0, 1]) AS i
+                    FROM auth_rows))
+        GROUP BY uuid, id)
+  GROUP BY uuid
+)
+SELECT b.uuid,
+       coalesce(cmr_people, '') AS cmr_people,
+       coalesce(cmr_people_ids, '') AS cmr_people_ids,
+       coalesce(cmr_authors, '') AS cmr_authors,
+       coalesce(cmr_authors_ids, '') AS cmr_authors_ids
+FROM (SELECT DISTINCT uuid FROM per) b
+LEFT JOIN ppl USING (uuid)
+LEFT JOIN ppl_ids USING (uuid)
+LEFT JOIN auth USING (uuid)
+LEFT JOIN auth_ids USING (uuid)
 ORDER BY uuid
 """
 

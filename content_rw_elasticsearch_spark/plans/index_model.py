@@ -19,38 +19,108 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.textfns import api_url, html_text_chain, web_url
+from ..functions.textfns import api_url, html_text_chain, title_text_chain, web_url
 
 # message_handler.go:162-171 isAllowedType — note "" IS allowed there
 ALLOWED_TYPES = ["Article", "Video", "MediaResource", "Audio", "ContentPackage", ""]
 # message_handler.go:19 + :79-82
 SYNTHETIC_PREFIX = "SYNTHETIC-REQ-MON"
-# configs/app.yml:44-61 contentMetadata → collection routing (B6)
-CONTENT_TYPE_BY_TYPE = {
-    "Article": "article", "Video": "video", "MediaResource": "video",
-    "Audio": "audio", "ContentPackage": "article", "": "",
+# message_handler.go:23-24 — Content-Type header fragments (stage 1 of B4)
+AUDIO_CT_HEADER = "ft-upp-audio"
+ARTICLE_CT_HEADER = "ft-upp-article"
+# configs/app.yml:23-42 contentMetadata — (authority, origin, contentType);
+# stage 2 matches identifiers.authority, stage 3 the Origin-System-Id header
+CONTENT_METADATA = [
+    ("http://api.ft.com/system/FTCOM-METHODE", "methode-web-pub", "article"),
+    ("http://api.ft.com/system/FT-LABS-WP", "wordpress", "blog"),
+    ("http://api.ft.com/system/NEXT-VIDEO-EDITOR", "next-video-editor", "video"),
+    ("http://api.ft.com/system/cct", "http://cmdb.ft.com/systems/cct", "article"),
+    ("http://api.ft.com/system/spark", "http://cmdb.ft.com/systems/spark", "article"),
+]
+# pkg/config/config.go:26 — empty contentType escapes the gate for PAC origin
+PAC_ORIGIN = "http://cmdb.ft.com/systems/pac"
+# configs/app.yml:44-61 esContentTypeMetadata: contentType → (collection,
+# format, category); collection drives B6 routing, format/category B8 fields
+ES_CT_META = {
+    "article": ("FTCom", "Articles", "article"),
+    "blog": ("FTBlogs", "Blogs", "blogPost"),
+    "video": ("FTVideos", "Videos", "video"),
+    "audio": ("FTAudios", "Audios", "audio"),
 }
-COLLECTION_BY_CONTENT_TYPE = {"article": "FTCom", "video": "FTVideos", "audio": "FTAudios"}
 # configs/app.yml:10-20 predicates to skip (B7, mapper.go:150-164)
 SKIP_PREDICATES = ["mentions", "hasDisplayTag"]
+# mapper.go:272-291 handleSectionMapping predicate set (E4)
+SECTION_PREDICATES = [
+    "about", "majorMentions", "implicitlyAbout",
+    "isClassifiedBy", "implicitlyClassifiedBy",
+]
+PRIMARY_SECTION_PREDICATE = "isPrimaryClassifiedBy"
+AUTHOR_PREDICATES = ["hasAuthor", "hasContributor"]  # mapper.go:115
+# mapper.go:22-23 — thumbnail URL template (C10)
+IMAGE_SERVICE_URL = (
+    "https://www.ft.com/__origami/service/image/v2/images/raw/"
+    "http%3A%2F%2Fprod-upp-image-read.ft.com%2F[image_uuid]"
+    "?source=search&fit=scale-down&width=167"
+)
+IMAGE_PLACEHOLDER = "[image_uuid]"
+# mapper.go:25-31 TME taxonomy names, pre-encoded (getCmrID base64-encodes
+# at :310; constants here are base64.b64encode of ON/PN/Authors/Topics/GL/
+# Sections — pinned by tests/test_index_model.py)
+B64_TAXONOMY = {
+    "ON": "T04=", "PN": "UE4=", "Authors": "QXV0aG9ycw==",
+    "Topics": "VG9waWNz", "GL": "R0w=", "Sections": "U2VjdGlvbnM=",
+}
+# mapper.go:100-148 — concept types that set the primary theme on `about`,
+# with the taxonomy used for the theme id fallback
+THEME_TAXONOMY_BY_TYPE = {
+    "ORGANISATION": "ON", "PERSON": "PN", "TOPIC": "Topics", "LOCATION": "GL",
+}
 # deterministic injected index timestamp (C12 — mapper.go:172 uses
 # wall-clock; tests there null it out. We inject instead: reproducible.)
 DEFAULT_INDEX_DATE = "2026-01-01T00:00:00.000Z"
 
 _TYPES7 = ["Article", "Video", "MediaResource", "Audio", "ContentPackage", "Weird", ""]
-_PREDICATES5 = ["about", "mentions", "isClassifiedBy", "hasDisplayTag", "majorMentions"]
+_PREDICATES10 = [
+    "about", "mentions", "isClassifiedBy", "hasDisplayTag", "majorMentions",
+    "implicitlyAbout", "implicitlyClassifiedBy", "isPrimaryClassifiedBy",
+    "hasAuthor", "hasContributor",
+]
 _CONCEPT_TYPES6 = ["PERSON", "ORGANISATION", "LOCATION", "TOPIC", "GENRE", "BRAND"]
 
 
 def enriched_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → synthetic EnrichedContent (schema.go:90-120
-    analog): uuid, tid, type, title, body, body_xml, published_date,
-    marked_deleted. Deterministic pure functions of doc_id/text."""
+    analog). Every column is a deterministic pure function of doc_id/text
+    so the DuckDB oracle regenerates the identical table.
+
+    Covers the full Content surface the mapper consumes: identifiers
+    authority + Origin/Content-Type headers (B4 inputs), byline/standfirst/
+    description, scoop/canBeSyndicated/canBeDistributed, first/last publish
+    dates (empty → null semantics), mainImage apiUrl, dataSource
+    (duration, mediaType) for length_millis."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doc_id = F.col("doc_id")
     text = F.col("text")
     typ = F.try_element_at(
         F.array(*[F.lit(t) for t in _TYPES7]), (doc_id % 7 + 1).cast("int")
+    )
+    authorities = F.array(*[F.lit(a) for a, _, _ in CONTENT_METADATA])
+    origins = F.array(*[F.lit(o) for _, o, _ in CONTENT_METADATA])
+    # body / bodyXML / description exercise all three body branches of
+    # mapper.go:201-215: html-chained body, bodyXML fallback (B2), and the
+    # description passthrough when both are empty
+    body_case = (
+        F.when(doc_id % 41 == 3, F.lit(""))
+        .when(doc_id % 11 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("<p>"), text, F.lit("</p>")))
+    )
+    body_xml_case = (
+        F.when(doc_id % 41 == 3, F.lit(""))
+        .when(doc_id % 11 == 0, F.concat(
+            F.lit('<body><script type="x">junk</script>'), text,
+            F.lit('&nbsp;[caption id="a"]cap[/caption] embed1</body>'),
+        ))
+        .otherwise(F.lit(""))
     )
     return d.select(
         doc_id,
@@ -61,93 +131,267 @@ def enriched_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("tid_"), doc_id.cast("string"))).alias("tid"),
         typ.alias("type"),
         F.concat_ws(" ", F.slice(F.split(text, " "), 1, 5)).alias("title"),
-        F.when(doc_id % 11 == 0, F.lit("")).otherwise(
-            F.concat(F.lit("<p>"), text, F.lit("</p>"))
-        ).alias("body"),
-        F.when(doc_id % 11 == 0, F.concat(
-            F.lit('<body><script type="x">junk</script>'), text,
-            F.lit('&nbsp;[caption id="a"]cap[/caption] embed1</body>'),
-        )).otherwise(F.lit("")).alias("body_xml"),
-        F.concat(
+        body_case.alias("body"),
+        body_xml_case.alias("body_xml"),
+        # B4 stage-1 input: Content-Type header (message_handler.go:138-144)
+        F.when(doc_id % 13 == 0, F.lit("application/vnd.ft-upp-audio+json"))
+        .when(doc_id % 13 == 1, F.lit("application/vnd.ft-upp-article+json"))
+        .otherwise(F.lit("")).alias("ct_header"),
+        # B4 stage-2 input: identifiers[0].authority (schema.go:127-130)
+        F.coalesce(
+            F.try_element_at(authorities, (doc_id % 17 + 1).cast("int")),
+            F.lit(""),
+        ).alias("authority"),
+        # B4 stage-3 input: Origin-System-Id header (+ PAC escape slot)
+        F.coalesce(
+            F.try_element_at(origins, (doc_id % 19 + 1).cast("int")),
+            F.when(doc_id % 19 == 5, F.lit(PAC_ORIGIN))
+            .otherwise(F.lit("unknown-origin")),
+        ).alias("origin"),
+        F.when(doc_id % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("By <b>Author "), (doc_id % 50).cast("string"),
+                     F.lit("</b> &amp; staff"))
+        ).alias("byline"),
+        F.when(doc_id % 6 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("Standfirst "), (doc_id % 30).cast("string"))
+        ).alias("standfirst"),
+        F.concat(F.lit("Plain description "), doc_id.cast("string")).alias("description"),
+        (doc_id % 9 == 0).alias("scoop"),
+        F.try_element_at(
+            F.array(F.lit("yes"), F.lit("no"), F.lit("verify")),
+            (doc_id % 4 + 1).cast("int"),
+        ).alias("can_be_syndicated"),
+        F.try_element_at(
+            F.array(F.lit("yes"), F.lit("no")),
+            (doc_id % 3 + 1).cast("int"),
+        ).alias("can_be_distributed"),
+        F.when(doc_id % 23 == 0, F.lit("")).otherwise(F.concat(
             F.date_format(
                 F.timestamp_add("MINUTE", doc_id.cast("int"),
                                 F.lit("2024-01-01 00:00:00").cast("timestamp")),
                 "yyyy-MM-dd'T'HH:mm:ss",
             ),
             F.lit(".000Z"),
-        ).alias("published_date"),
+        )).alias("published_date"),
+        F.when(doc_id % 29 == 0, F.lit("")).otherwise(F.concat(
+            F.date_format(
+                F.timestamp_add("MINUTE", doc_id.cast("int"),
+                                F.lit("2023-12-01 00:00:00").cast("timestamp")),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            ),
+            F.lit(".000Z"),
+        )).alias("first_published_date"),
+        # mainImage members[0].apiUrl analog; the mapper extracts the image
+        # uuid as the last '/'-segment (mapper.go:235-237)
+        F.when(doc_id % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("http://api.ft.com/content/"),
+                     F.md5(F.concat(doc_id.cast("string"), F.lit("img"))))
+        ).alias("main_image"),
+        # dataSource[0] (schema.go:122-125)
+        F.try_element_at(
+            F.array(F.lit("video/mp4"), F.lit("audio/mp3"), F.lit("text/html")),
+            (doc_id % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        (doc_id * 37 % 600000).cast("int").alias("duration"),
         (doc_id % 97 == 0).alias("marked_deleted"),
     )
 
 
-def to_index_model(enriched: DataFrame,
-                   index_date: str = DEFAULT_INDEX_DATE) -> DataFrame:
-    """B1→B8 in reference order (message_handler.go:69-135, mapper.go:170-263)."""
-    ct_map = F.create_map(*[F.lit(x) for kv in CONTENT_TYPE_BY_TYPE.items() for x in kv])
-    coll_map = F.create_map(*[F.lit(x) for kv in COLLECTION_BY_CONTENT_TYPE.items() for x in kv])
+def inferred_content_type() -> F.Column:
+    """B4 — the reference's 3-stage content-type resolution
+    (readContentType, message_handler.go:137-160): Content-Type header
+    fragment match → identifiers.authority substring match vs the config
+    authorities → Origin-System-Id substring match; else ''."""
+    c = F.when(F.col("ct_header").contains(AUDIO_CT_HEADER), F.lit("audio")) \
+         .when(F.col("ct_header").contains(ARTICLE_CT_HEADER), F.lit("article"))
+    for auth, _, ct in CONTENT_METADATA:
+        c = c.when(F.col("authority").contains(auth), F.lit(ct))
+    for _, origin, ct in CONTENT_METADATA:
+        c = c.when(F.col("origin").contains(origin), F.lit(ct))
+    return c.otherwise(F.lit(""))
+
+
+def _es_meta_map(idx: int) -> F.Column:
+    return F.create_map(
+        *[F.lit(x) for ct, meta in ES_CT_META.items() for x in (ct, meta[idx])]
+    )
+
+
+def gated(enriched: DataFrame) -> DataFrame:
+    """B1→B5 control-flow gates shared by the write and delete paths
+    (message_handler.go:69-110): synthetic tid, allowed type, content-type
+    inference with the PAC-origin escape."""
     return (
         enriched
         # B1 synthetic-tid gate (message_handler.go:79-82 —
         # strings.Contains, not a prefix match)
         .filter(~F.col("tid").contains(SYNTHETIC_PREFIX))
-        # delete short-circuit happens BEFORE mapping (message_handler.go:112-120)
-        .filter(~F.col("marked_deleted"))
         # B2 bodyXML fallback (message_handler.go:91-94)
         .withColumn("body", F.coalesce(F.nullif("body", F.lit("")), F.col("body_xml")))
         # B3 allowed-type gate (message_handler.go:96-99, isAllowedType :162-171)
         .filter(F.col("type").isin(ALLOWED_TYPES))
-        # B4 content-type resolution (readContentType :137-160)
-        .withColumn("content_type", ct_map[F.col("type")])
-        # B5 no-content gate (message_handler.go:122-125)
+        # B4 content-type inference (readContentType :137-160)
+        .withColumn("content_type", inferred_content_type())
+        # empty contentType fails UNLESS the message came from PAC
+        # (message_handler.go:105-109)
+        .filter((F.col("content_type") != "") | (F.col("origin") == PAC_ORIGIN))
+    )
+
+
+def to_index_model(enriched: DataFrame,
+                   index_date: str = DEFAULT_INDEX_DATE) -> DataFrame:
+    """B1→B8 in reference order (message_handler.go:69-135), then the wide
+    IndexModel projection (mapper.go:170-263, schema.go:3-88).
+
+    Nullability is semantic and matches the reference's pointer fields:
+    byline/lead_headline/body are always-set strings (possibly ''), while
+    last_publish/initial_publish/thumbnail_url/can_be_* stay NULL when the
+    reference leaves the pointer nil (pinned by
+    test/testdata/exampleElasticModel.json:3-4,17). story_id/storymodel_id
+    are typed nulls — the mapper never populates them; mark_deleted/
+    bestStory/lookupFailure are Go zero-values (false)."""
+    coll_map, fmt_map, cat_map = _es_meta_map(0), _es_meta_map(1), _es_meta_map(2)
+    img_uuid = F.element_at(F.split("main_image", "/"), -1)
+    return (
+        gated(enriched)
+        # delete short-circuit precedes the write path (message_handler.go:112-120)
+        .filter(~F.col("marked_deleted"))
+        # B5 no-content gate (message_handler.go:122-125) — drops the
+        # PAC-origin escapes with no inferable type too
         .filter((F.col("uuid") != "") & (F.col("content_type") != ""))
         # B6 collection routing (message_handler.go:111 + app.yml:44-61)
         .withColumn("collection", coll_map[F.col("content_type")])
         # B8 projection (mapper.go:170-263) + C-chain on body (mapper.go:202-211)
         .select(
-            "uuid", "collection", "content_type", "title",
-            html_text_chain("body").alias("clean_body"),
-            web_url(F.col("uuid")).alias("web_url"),
-            api_url(F.col("uuid")).alias("api_url"),
-            "published_date",
+            F.col("uuid").alias("uid"),
+            "collection",
+            "content_type",
+            # internalContentType mirrors contentType (mapper.go:175-177)
+            F.col("content_type").alias("internal_content_type"),
+            cat_map[F.col("content_type")].alias("category"),
+            fmt_map[F.col("content_type")].alias("format"),
+            # title/byline go through the SHORT chain (mapper.go:183-193):
+            # entities → tags → trim → whitespace
+            title_text_chain("title").alias("lead_headline"),
+            title_text_chain("byline").alias("byline"),
+            # body: full chain when body set, else raw description
+            # (mapper.go:201-215 — the description passthrough is NOT chained)
+            F.when(F.col("body") != "", html_text_chain("body"))
+            .otherwise(F.col("description")).alias("body"),
+            F.col("scoop"),
+            F.col("can_be_syndicated"),
+            F.col("can_be_distributed"),
+            # empty publish dates stay nil pointers (mapper.go:194-199)
+            F.nullif("published_date", F.lit("")).alias("last_publish"),
+            F.nullif("first_published_date", F.lit("")).alias("initial_publish"),
+            F.col("standfirst").alias("short_description"),
+            # thumbnail (mapper.go:223-240): non-blog + mainImage present;
+            # image uuid = last '/'-segment of the member apiUrl, templated
+            # into the image-service URL (the reference's internal-content
+            # HTTP fan-out is modeled as the member apiUrl column)
+            F.when(
+                (F.col("content_type") != "blog") & (F.col("main_image") != ""),
+                F.replace(F.lit(IMAGE_SERVICE_URL), F.lit(IMAGE_PLACEHOLDER), img_uuid),
+            ).alias("thumbnail_url"),
+            # length_millis (mapper.go:243-255): video → first dataSource
+            # with a video/* mediaType; audio → first dataSource; else 0
+            F.when(
+                (F.col("content_type") == "video")
+                & F.col("media_type").startswith("video"),
+                F.col("duration"),
+            ).when(F.col("content_type") == "audio", F.col("duration"))
+            .otherwise(F.lit(0)).cast("int").alias("length_millis"),
+            web_url(F.col("uuid")).alias("url"),
+            api_url(F.col("uuid")).alias("model_api_url"),
+            F.col("tid").alias("publish_reference"),
             F.lit(index_date).alias("index_date"),
+            F.lit(False).alias("mark_deleted"),
+            F.lit(False).alias("best_story"),
+            F.lit(False).alias("lookup_failure"),
+            F.lit(None).cast("int").alias("story_id"),
+            F.lit(None).cast("int").alias("storymodel_id"),
         )
     )
 
 
 def delete_set(enriched: DataFrame) -> DataFrame:
     """A5 delete path (message_handler.go:112-120, es/service.go:130-138):
-    uuids to delete, post synthetic gate."""
+    (collection, uuid) pairs to delete. Control flow pinned to the
+    reference: synthetic gate → allowed-type gate → content-type inference
+    (with PAC escape) → MarkedDeleted branch. A PAC-origin doc with no
+    inferable type IS deleted — with an empty collection (the zero-value
+    ESContentTypeMetadataMap.Get(\"\") lookup)."""
+    coll_map = _es_meta_map(0)
     return (
-        enriched.filter(~F.col("tid").contains(SYNTHETIC_PREFIX))
+        gated(enriched)
         .filter(F.col("marked_deleted"))
-        .select("uuid")
+        .select(
+            "uuid",
+            F.coalesce(coll_map[F.col("content_type")], F.lit("")).alias("collection"),
+        )
         .orderBy("uuid")
     )
 
 
 def annotations_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic Annotations (schema.go:132-145 analog): three positional
-    annotation slots per document, derived from the text tokens."""
+    annotation slots per document, derived from the text tokens.
+
+    Each annotation carries the full Thing surface the mapper consumes:
+    concept_id (canonical id), pref_label, predicate, concept_type, and
+    tme_ids — the concordance TME ids (concordance.go:97-119) with
+    deterministic base64 taxonomy suffixes so getCmrID/getCmrIDWithFallback
+    (mapper.go:303-324) exercise both match and fallback branches.
+    ann_ids = [canonical] + tme_ids (mapper.go:79-84)."""
     base = enriched_from_documents(spark, sf_dir).select("doc_id", "uuid", "text")
     parts = []
     for pos in (1, 2, 3):
+        k = F.col("doc_id") + 31 * pos
+        tme = F.filter(
+            F.array(
+                F.when(k % 3 == 0, F.concat(F.lit("tme-"), k.cast("string"),
+                                            F.lit(B64_TAXONOMY["PN"]))),
+                F.when(k % 4 == 0, F.concat(F.lit("tme-"), k.cast("string"),
+                                            F.lit(B64_TAXONOMY["Authors"]))),
+                F.when(k % 5 == 0, F.concat(F.lit("tme-"), k.cast("string"),
+                                            F.lit(B64_TAXONOMY["Sections"]))),
+                F.when(k % 7 == 2, F.concat(F.lit("tme-"), k.cast("string"),
+                                            F.lit(B64_TAXONOMY["ON"]))),
+                F.when(k % 7 == 4, F.concat(F.lit("tme-"), k.cast("string"),
+                                            F.lit(B64_TAXONOMY["Topics"]))),
+                F.when(k % 7 == 6, F.concat(F.lit("tme-"), k.cast("string"),
+                                            F.lit(B64_TAXONOMY["GL"]))),
+                F.when(k % 2 == 0, F.concat(F.lit("tme-"), k.cast("string"),
+                                            F.lit("xq"))),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        cid = F.try_element_at(F.split(F.col("text"), " "), F.lit(pos * 3))
         parts.append(
             base.select(
                 "uuid",
                 F.lit(pos).alias("ann_pos"),
-                F.try_element_at(F.split(F.col("text"), " "), F.lit(pos * 3)).alias("concept_id"),
+                cid.alias("concept_id"),
+                F.concat(F.lit("P-"), cid).alias("pref_label"),
+                # 5*pos makes slots 1 and 3 share a predicate, so a doc can
+                # carry TWO isPrimaryClassifiedBy annotations — required to
+                # pin the last-writer-wins primary-section semantics (E4)
                 F.try_element_at(
-                    F.array(*[F.lit(p) for p in _PREDICATES5]),
-                    ((F.col("doc_id") + pos) % 5 + 1).cast("int"),
+                    F.array(*[F.lit(p) for p in _PREDICATES10]),
+                    ((F.col("doc_id") + 5 * pos) % 10 + 1).cast("int"),
                 ).alias("predicate"),
                 F.try_element_at(
                     F.array(*[F.lit(t) for t in _CONCEPT_TYPES6]),
                     ((F.col("doc_id") * pos) % 6 + 1).cast("int"),
                 ).alias("concept_type"),
+                tme.alias("tme_ids"),
             )
         )
     anns = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return anns.filter(F.col("concept_id").isNotNull() & (F.col("concept_id") != ""))
+    return (
+        anns.filter(F.col("concept_id").isNotNull() & (F.col("concept_id") != ""))
+        .withColumn("ann_ids", F.concat(F.array("concept_id"), F.col("tme_ids")))
+    )
 
 
 def filtered_annotations(anns: DataFrame) -> DataFrame:
@@ -155,7 +399,32 @@ def filtered_annotations(anns: DataFrame) -> DataFrame:
     return anns.filter(~F.col("predicate").isin(SKIP_PREDICATES))
 
 
-def annotation_buckets(anns: DataFrame, concept_type: str, out_col: str) -> DataFrame:
+def _first_seen_array(df: DataFrame, elem: F.Column, order: F.Column,
+                      out_col: str) -> DataFrame:
+    """appendIfNotExists (mapper.go:326-333) as a distributed plan:
+    keep each element's FIRST occurrence position, dedupe, then rebuild
+    the array in first-seen order. Deterministic under any partitioning —
+    no collect_list-order dependence. Emits a '|'-joined scalar so the
+    driver canonicalizer can hash it."""
+    return (
+        df.select("uuid", elem.alias("e"), order.alias("o"))
+        .groupBy("uuid", "e")
+        .agg(F.min("o").alias("o"))
+        .groupBy("uuid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("o", "e"))),
+                    lambda s: s["e"],
+                ),
+                "|",
+            ).alias(out_col)
+        )
+    )
+
+
+def annotation_buckets(anns: DataFrame, concept_type: str, out_col: str,
+                       joined: bool = False) -> DataFrame:
     """E1/E2/E3 — order-preserving deduped fan-in of concept ids into a
     taxonomy array (appendIfNotExists, mapper.go:326-333; per-type routing
     mapper.go:92-148). Order = first annotation position (the golden files
@@ -163,35 +432,163 @@ def annotation_buckets(anns: DataFrame, concept_type: str, out_col: str) -> Data
 
     Implementation: min(ann_pos) per (uuid, concept) — dedupe — then
     sort_array over (pos, id) structs → transform to ids. Deterministic
-    under any partitioning; no collect_list-order dependence."""
+    under any partitioning; no collect_list-order dependence.
+
+    ``joined=True`` emits the array as a '|'-joined scalar (order intact)
+    so the driver's canonicalizer — which cannot hash array cells — can
+    value-compare against the DuckDB oracle."""
     first_pos = (
         filtered_annotations(anns)
         .filter(F.col("concept_type") == concept_type)
         .groupBy("uuid", "concept_id")
         .agg(F.min("ann_pos").alias("p"))
     )
+    bucket = F.transform(
+        F.array_sort(F.collect_list(F.struct("p", "concept_id"))),
+        lambda s: s["concept_id"],
+    )
+    if joined:
+        bucket = F.array_join(bucket, "|")
     return (
         first_pos.groupBy("uuid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "concept_id"))),
-                lambda s: s["concept_id"],
-            ).alias(out_col)
-        )
+        .agg(bucket.alias(out_col))
         .orderBy("uuid")
     )
 
 
+def section_accumulation(anns: DataFrame) -> DataFrame:
+    """E4 — handleSectionMapping (mapper.go:272-291): annotations whose
+    predicate is about/majorMentions/implicitlyAbout/isClassifiedBy/
+    implicitlyClassifiedBy/isPrimaryClassifiedBy accumulate pref_label into
+    cmr_sections and their ann_ids into cmr_sections_ids (both
+    appendIfNotExists-deduped in annotation order); isPrimaryClassifiedBy
+    ALSO overwrites cmr_primarysection(+id) — LAST writer wins (the
+    reference assigns unconditionally, unlike setPrimaryTheme's first-wins
+    guard at :294-296). The primary-section id is
+    getCmrIDWithFallback("Sections", ann_ids) (mapper.go:288,316-324)."""
+    secs = filtered_annotations(anns).filter(
+        F.col("predicate").isin(SECTION_PREDICATES + [PRIMARY_SECTION_PREDICATE])
+    )
+    labels = _first_seen_array(secs, F.col("pref_label"), F.col("ann_pos"),
+                               "cmr_sections")
+    # prepareElasticField appends ann_ids in annotation order; the global
+    # first-seen order key is (ann_pos, index-within-ann_ids)
+    ids_exploded = secs.select(
+        "uuid", "ann_pos", F.posexplode("ann_ids").alias("i", "id")
+    )
+    ids = _first_seen_array(ids_exploded, F.col("id"),
+                            F.col("ann_pos") * 100 + F.col("i"),
+                            "cmr_sections_ids")
+    sfx = B64_TAXONOMY["Sections"]
+    fallback_id = F.coalesce(
+        F.try_element_at(
+            F.filter(F.col("ann_ids"), lambda x: x.endswith(sfx)), F.lit(1)
+        ),
+        F.try_element_at("ann_ids", F.lit(2)),
+        F.try_element_at("ann_ids", F.lit(1)),
+    )
+    w = Window.partitionBy("uuid").orderBy(F.desc("ann_pos"))
+    primary = (
+        secs.filter(F.col("predicate") == PRIMARY_SECTION_PREDICATE)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "uuid",
+            F.col("pref_label").alias("cmr_primarysection"),
+            fallback_id.alias("cmr_primarysection_id"),
+        )
+    )
+    return (
+        labels.join(ids, "uuid")
+        .join(primary, "uuid", "left")
+        .orderBy("uuid")
+    )
+
+
+def author_buckets(anns: DataFrame) -> DataFrame:
+    """E6 — author gating (mapper.go:107-124), person-type annotations:
+
+    * people bucket: pref_label/ann_ids added UNLESS the annotation is
+      author-only — i.e. no TME People ('PN') id AND an Authors id exists
+      (`if personFound || !authorFound`).
+    * authors bucket: only under predicate hasAuthor/hasContributor AND an
+      Authors TME id present; cmr_authors_ids gets the matching Authors id
+      then the canonical id (appendIfNotExists order, :117-119).
+
+    Emits one row per uuid with any person-type annotation; empty buckets
+    are '' (the '|'-join of an empty array)."""
+    persons = filtered_annotations(anns).filter(F.col("concept_type") == "PERSON")
+    person_sfx, author_sfx = B64_TAXONOMY["PN"], B64_TAXONOMY["Authors"]
+    author_id = F.try_element_at(
+        F.filter(F.col("ann_ids"), lambda x: x.endswith(author_sfx)), F.lit(1)
+    )
+    persons = persons.withColumn("author_id", author_id).withColumn(
+        "person_found",
+        F.exists(F.col("ann_ids"), lambda x: x.endswith(person_sfx)),
+    )
+    people_rows = persons.filter(
+        F.col("person_found") | F.col("author_id").isNull()
+    )
+    people = _first_seen_array(people_rows, F.col("pref_label"),
+                               F.col("ann_pos"), "cmr_people")
+    people_ids = _first_seen_array(
+        people_rows.select("uuid", "ann_pos",
+                           F.posexplode("ann_ids").alias("i", "id")),
+        F.col("id"), F.col("ann_pos") * 100 + F.col("i"), "cmr_people_ids",
+    )
+    author_rows = persons.filter(
+        F.col("predicate").isin(AUTHOR_PREDICATES) & F.col("author_id").isNotNull()
+    )
+    authors = _first_seen_array(author_rows, F.col("pref_label"),
+                                F.col("ann_pos"), "cmr_authors")
+    author_ids = _first_seen_array(
+        author_rows.select(
+            "uuid", "ann_pos",
+            F.posexplode(F.array("author_id", "concept_id")).alias("i", "id"),
+        ),
+        F.col("id"), F.col("ann_pos") * 10 + F.col("i"), "cmr_authors_ids",
+    )
+    base = persons.select("uuid").distinct()
+    out = base
+    for part in (people, people_ids, authors, author_ids):
+        out = out.join(part, "uuid", "left")
+    return out.select(
+        "uuid",
+        *[F.coalesce(F.col(c), F.lit("")).alias(c)
+          for c in ("cmr_people", "cmr_people_ids", "cmr_authors", "cmr_authors_ids")],
+    ).orderBy("uuid")
+
+
 def primary_theme(anns: DataFrame) -> DataFrame:
     """E5 first-wins primary theme (mapper.go:293-301): the FIRST `about`
-    annotation in metadata order sets cmr_primarytheme."""
+    annotation of a theme-setting concept type (organisation/person/topic/
+    location — mapper.go:100-148) sets cmr_primarytheme; its id comes from
+    getCmrIDWithFallback with the branch's TME taxonomy (ON/PN/Topics/GL)."""
+    tax_map = F.create_map(*[
+        F.lit(x)
+        for ct, tax in THEME_TAXONOMY_BY_TYPE.items()
+        for x in (ct, B64_TAXONOMY[tax])
+    ])
+    sfx = tax_map[F.col("concept_type")]
+    fallback_id = F.coalesce(
+        F.try_element_at(
+            F.filter(F.col("ann_ids"), lambda x: x.endswith(sfx)), F.lit(1)
+        ),
+        F.try_element_at("ann_ids", F.lit(2)),
+        F.try_element_at("ann_ids", F.lit(1)),
+    )
     w = Window.partitionBy("uuid").orderBy("ann_pos")
     return (
         filtered_annotations(anns)
         .filter(F.col("predicate") == "about")
+        .filter(F.col("concept_type").isin(list(THEME_TAXONOMY_BY_TYPE)))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("uuid", F.col("concept_id").alias("cmr_primarytheme"))
+        .select(
+            "uuid",
+            F.col("pref_label").alias("cmr_primarytheme"),
+            fallback_id.alias("cmr_primarytheme_id"),
+        )
         .orderBy("uuid")
     )
 

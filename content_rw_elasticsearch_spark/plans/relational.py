@@ -99,7 +99,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_json_extract_sql() -> str:
     return """
 SELECT event_type,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
        count(*)::BIGINT AS n
 FROM events
 WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL

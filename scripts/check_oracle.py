@@ -1,7 +1,7 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB, compare row sets.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [name_substring ...]
 """
 
 from __future__ import annotations
@@ -39,6 +39,7 @@ def normalize(rows, cols):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -46,6 +47,8 @@ def main() -> int:
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and not any(sub in name for sub in only):
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows, scols = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
