@@ -50,17 +50,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return idx.search("hash join", k=10, mode="AND")
 
 
-def _segment_index_for(spark: SparkSession, sf_dir: str) -> SegmentIndex:
-    """Build (once per sf_dir+version) the compressed segment index under
-    /tmp and load it. Resumable build — a committed index is reused."""
-    key = (id(spark), sf_dir)
+def _segment_index_for(spark: SparkSession, sf_dir: str,
+                       with_positions: bool = False) -> SegmentIndex:
+    """Build (once per sf_dir+version+layout) the compressed segment index
+    under /tmp and load it. Resumable build — a committed index is reused.
+    The positional variant lives in its own cache dir (different on-disk
+    layout) and serves the phrase queries."""
+    key = (id(spark), sf_dir, with_positions)
     if key not in _SEG_CACHE:
         slug = sf_dir.strip("/").replace("/", "_")
-        out = f"/tmp/spark_graft_segidx_v{__version__}_{slug}"
+        pos = "_pos" if with_positions else ""
+        out = f"/tmp/spark_graft_segidx_v{__version__}{pos}_{slug}"
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_segments(
             docs, out, text_col="text", doc_col="doc_id", analyzer="simple",
             n_buckets=4, target_block=512, nb_max=64, snapshot_id=sf_dir,
+            with_positions=with_positions,
         )
         _SEG_CACHE[key] = SegmentIndex.load(spark, out)
     return _SEG_CACHE[key]
@@ -79,11 +84,11 @@ def _bm25_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phrase_query(phrase: str, spark: SparkSession, sf_dir: str) -> DataFrame:
-    from content_rw_elasticsearch_spark.operators import postings as P
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tok = P.tokenized(docs, "text", "doc_id", "simple")
-    return P.phrase_match(P.build_positional_postings(tok),
-                          oracle.analyze_query_py(phrase, "simple"))
+    """Phrase match via the positional segment store (operators/wand.py
+    phrase_search): salt-class-pruned decode of only the phrase terms'
+    position lists — the scale path, not a corpus re-tokenize."""
+    seg = _segment_index_for(spark, sf_dir, with_positions=True)
+    return seg.phrase_search(phrase)
 
 
 def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,8 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_not"] = _bm25_not
 
     # code-aware Arrow analyzer end-to-end (camelCase/snake splitting +
-    # ascii folding preserve-original); rows-only — the identifier
-    # splitting is not expressible in the SQL oracle subset
+    # per-token ascii folding preserve-original); oracle = pure-Python
+    # golden table (identifier splitting isn't in the SQL subset)
     def _bm25_code_analyzer(spark, sf_dir):
         key = (id(spark), sf_dir, "code")
         if key not in _INDEX_CACHE:
@@ -179,7 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_dedup(
         _docs(s, d), "text", "doc_id", n=3, tau=0.8)
     out["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
-        _docs(s, d), "text", "doc_id", max_hamming=3)  # rows-only (no SQL)
+        _docs(s, d), "text", "doc_id", max_hamming=3)
     out["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5)
     out["sim_ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(
@@ -206,6 +211,8 @@ def oracle_sql() -> dict[str, str]:
         out[f"wand_{name}"] = sql
     out["bm25_not"] = oracle.bm25_topk_sql("hash join", k=10, mode="AND",
                                            not_terms=["row"])
+    # code-analyzer BM25: independent pure-Python golden (VALUES literal)
+    out["bm25_code_analyzer"] = oracle.bm25_code_topk_sql("hash join", k=10, mode="AND")
     out["phrase_two"] = oracle.phrase_match_sql("hash join")
     out["phrase_three"] = oracle.phrase_match_sql("customer data group")
     out["index_term_postings"] = oracle.term_postings_sql("dup")
@@ -229,8 +236,10 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
     # LSH+verify must equal the exact-join result (recall caveat in docstring)
     out["dedup_minhash_lsh"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
-    # dedup_simhash: intentionally no oracle — signature algebra is not
-    # SQL-expressible; driver records the weaker rows-only check
+    # dedup_simhash: the bit-vote algebra is not SQL-expressible, so the
+    # oracle is an independent pure-Python brute-force replay materialized
+    # as a VALUES golden table (pinned to the driver's sf0.01 scale)
+    out["dedup_simhash"] = dedup.simhash_pairs_sql(max_hamming=3)
     out["sim_cosine_topk"] = similarity.cosine_topk_sql(ANN_QUERY_IDS, k=5)
     out["sim_ann_lsh_topk"] = similarity.ann_lsh_topk_sql(64, ANN_QUERY_IDS, k=5)
     out["text_token_counts"] = textstats.token_counts_sql()

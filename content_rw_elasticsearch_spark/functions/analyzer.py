@@ -76,14 +76,17 @@ def _fold_ascii(s: str) -> str:
 def analyze_code_py(text: str) -> list[str]:
     """Pure-Python single-string code analyzer (stage order is PINNED):
 
-    1. ASCII-fold with preserve_original semantics: if folding changes the
-       text, both folded and original token streams contribute (reference
-       analog: referenceSchema.json:16-21 ``preserve_original: true``).
-    2. Extract word chars ([A-Za-z0-9_]+) — the `standard`-tokenizer analog
+    1. Extract word chars ([A-Za-z0-9_]+) — the `standard`-tokenizer analog
        for code.
-    3. For each word: emit lowercase(word) with '_' stripped as the
-       "original" token, then camelCase/snake_case sub-tokens (lowercased)
-       when the word actually splits.
+    2. For each word: emit lowercase(word) with '_' stripped as the whole
+       token, then camelCase/snake_case sub-tokens (lowercased) when the
+       word actually splits.
+    3. Per emitted token, ASCII-fold with preserve_original semantics:
+       append the folded form ONLY when folding changes that token
+       (reference analog: referenceSchema.json:16-21 ``preserve_original:
+       true`` — ES's asciifolding filter operates at token granularity,
+       so one accented token must not duplicate the whole document's
+       stream or skew every token's tf).
     4. No stemming, no stopword removal (matches the ES schema: none
        configured).
 
@@ -92,17 +95,22 @@ def analyze_code_py(text: str) -> list[str]:
     """
     if not text:
         return []
-    folded = _fold_ascii(text)
-    sources = [text] if folded == text else [text, folded]
     out: list[str] = []
-    for src in sources:
-        for word in _WORD_RE.findall(src):
-            whole = word.replace("_", "").lower()
-            parts = [p.lower() for seg in word.split("_") if seg for p in _CAMEL_RE.findall(seg)]
-            if whole:
-                out.append(whole)
-            if len(parts) > 1 or (parts and parts[0] != whole):
-                out.extend(parts)
+
+    def emit(t: str) -> None:
+        out.append(t)
+        folded = _fold_ascii(t)
+        if folded != t:
+            out.append(folded)
+
+    for word in _WORD_RE.findall(text):
+        whole = word.replace("_", "").lower()
+        parts = [p.lower() for seg in word.split("_") if seg for p in _CAMEL_RE.findall(seg)]
+        if whole:
+            emit(whole)
+        if len(parts) > 1 or (parts and parts[0] != whole):
+            for p in parts:
+                emit(p)
     return out
 
 

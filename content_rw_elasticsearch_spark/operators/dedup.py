@@ -5,10 +5,9 @@ MinHash+LSH (shingle → minhash → band → bucket-join → verify), and
 SimHash (bit-majority fingerprint + banded Hamming join).
 
 Scale design:
-  * shingling/minhash/banding are pure JVM columnar expressions
-    (xxhash64, higher-order array functions) — zero Python in the hot
-    path; SimHash is the one Arrow-batched pandas UDF (bit-majority has
-    no native expression).
+  * shingling/minhash/banding/simhash are pure JVM columnar expressions
+    (xxhash64, higher-order array functions, bitwise sums) — zero Python
+    in any hot path.
   * the LSH self-join shuffles on band_key — band keys are hashes, so the
     join is uniform unless a bucket is genuinely dense with near-dups;
     candidate verification joins only candidate pairs' shingles, never
@@ -20,13 +19,11 @@ Scale design:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from ..functions.analyzer import tokens_simple
+from ..functions.hashing import xxh64_string
 
 MINHASH_K = 24
 LSH_BANDS = 12  # r = K / BANDS = 2 rows per band
@@ -217,31 +214,45 @@ ORDER BY d1, d2
 # SimHash
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash fingerprint (Arrow-batched). Token hash = first 8
-    bytes of md5 (stable across processes, unlike Python's hash())."""
-    import hashlib
+def simhash_fingerprints(df: DataFrame, text_col: str, doc_col: str) -> DataFrame:
+    """(doc_id, fp): 64-bit SimHash fingerprints, 100% JVM-side.
 
-    def one(text: str) -> int:
-        if not isinstance(text, str) or not text:
-            return 0
-        toks = [t for t in text.lower().split() if t]
-        if not toks:
-            return 0
-        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        hs = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in uniq],
-            dtype=np.uint64,
+    Token hash = ``xxhash64`` (native expression); bit-majority vote =
+    64 ``sum`` aggregates over exploded token occurrences (weighting each
+    occurrence ±1 per bit ≡ the classic tf-weighted vote), fingerprint =
+    sum of distinct powers of two where the vote is positive. One shuffle
+    (the doc_id hash-agg, with map-side partial aggregation); zero Python
+    in the hot path — this replaces the former per-row md5 pandas UDF
+    that was the repo's slowest operator at scale.
+
+    Tokenization is whitespace-split lowercase (SimHash's usual feature
+    set is looser than the index analyzer); zero-token docs fingerprint
+    to 0."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    occ = (
+        df.select(F.col(doc_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = occ.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(64):
+        bit = (
+            F.when(F.col(f"v{j}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-        fp = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(j)
-        return int(fp.astype(np.int64))  # reinterpret as signed for LongType
-
-    return texts.map(one)
+        fp = bit if fp is None else fp + bit
+    return (
+        df.select(F.col(doc_col).alias("doc_id"))
+        .join(agg.select("doc_id", fp.alias("fp")), "doc_id", "left")
+        .select("doc_id", F.coalesce("fp", F.lit(0).cast("long")).alias("fp"))
+    )
 
 
 def simhash_pairs(
@@ -257,9 +268,7 @@ def simhash_pairs(
     split the 64-bit fingerprint into 4 × 16-bit chunks — any pair within
     Hamming ≤ 3 shares at least one exact chunk (pigeonhole), so the
     bucket-join on chunks has full recall; verify with bit_count(xor)."""
-    fp = df.select(
-        F.col(doc_col).alias("doc_id"), simhash64(F.col(text_col)).alias("fp")
-    )
+    fp = simhash_fingerprints(df, text_col, doc_col)
     chunks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[
@@ -279,3 +288,63 @@ def simhash_pairs(
         .distinct()
         .orderBy("d1", "d2")
     )
+
+
+# --- independent pure-Python SimHash replay (the oracle) -------------------
+
+DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
+_M64 = (1 << 64) - 1
+
+
+def simhash64_py(text: str) -> int:
+    """Independent driver-side replay of simhash_fingerprints for one doc:
+    whitespace-split lowercase tokens, xxh64 token hashes (the pure-Python
+    XXH64 from functions/hashing.py, itself parity-pinned against Spark's
+    JVM expression by tests/test_hashing.py), ±1 bit votes, positive-vote
+    bits set. Signed-long output like the Spark plan."""
+    votes = [0] * 64
+    for tok in text.lower().split():
+        h = xxh64_string(tok) & _M64
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    fp = 0
+    for j in range(64):
+        if votes[j] > 0:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def simhash_pairs_sql(max_hamming: int = 3, sf_dir: str | None = None) -> str:
+    """Golden-table oracle for simhash_pairs: the SimHash bit-vote algebra
+    is not expressible in the driver's SQL subset, so the oracle is the
+    independent pure-Python replay above, brute-forced over ALL pairs
+    (banding is recall-lossless by the pigeonhole bound, so the banded
+    join must equal the brute force) and materialized as a VALUES literal.
+
+    Reads documents.parquet from the driver's correctness scale
+    (sf0.01; override via sf_dir or SPARK_GRAFT_ORACLE_SF)."""
+    import os
+
+    import duckdb
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", DEFAULT_ORACLE_SF)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    fps = [(int(d), simhash64_py(t or "")) for d, t in rows]
+    pairs = []
+    for i in range(len(fps)):
+        d1, f1 = fps[i]
+        for d2, f2 in fps[i + 1:]:
+            ham = ((f1 ^ f2) & _M64).bit_count()
+            if ham <= max_hamming:
+                pairs.append((d1, d2, ham) if d1 < d2 else (d2, d1, ham))
+    if not pairs:
+        return ("SELECT CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2, "
+                "CAST(NULL AS INT) AS hamming WHERE FALSE")
+    vals = ", ".join(f"({d1}, {d2}, {h})" for d1, d2, h in sorted(pairs))
+    return f"""
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2, CAST(h AS INT) AS hamming
+FROM (VALUES {vals}) AS t(d1, d2, h)
+ORDER BY d1, d2
+"""

@@ -40,14 +40,17 @@ buckets are skipped (their manifest exists), half-written segment dirs are
 rebuilt. Reference analog: Kafka consumer-group offsets + the schema
 health gate (/root/reference/cmd/content-rw-elasticsearch/main.go:81-86,
 pkg/es/service.go:51-106).
+
+STORAGE. All manifest/directory bookkeeping goes through the storage
+abstraction (storage.py) — plain paths use the driver-local filesystem,
+URIs (hdfs://, s3a://, file://) the JVM Hadoop FileSystem — so the
+resumability contract holds on a real cluster, not just a shared POSIX
+tree. Directory swaps are crash-safe (old dir renamed aside before the
+new one lands; see storage.swap_dir/restore_swap).
 """
 
 from __future__ import annotations
 
-import json
-import math
-import os
-import shutil
 import time
 
 import numpy as np
@@ -63,6 +66,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .. import storage
+from ..storage import join as pjoin
 from . import codec
 from . import postings as P
 
@@ -246,13 +251,6 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
     )
 
 
-def _write_json_atomic(path: str, payload: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)  # manifest commit is the atomic last step
-
-
 def build_segments(
     corpus: DataFrame,
     out_dir: str,
@@ -269,21 +267,20 @@ def build_segments(
     """Build (or resume) the segment index at ``out_dir``. Returns the
     global manifest dict."""
     spark = corpus.sparkSession
-    os.makedirs(out_dir, exist_ok=True)
-    index_manifest = os.path.join(out_dir, "index.json")
-    if overwrite and os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-        os.makedirs(out_dir)
-    if os.path.exists(index_manifest):
-        with open(index_manifest) as f:
-            return json.load(f)
+    fs = storage.fs_for(out_dir, spark)
+    if overwrite and fs.exists(out_dir):
+        fs.rmtree(out_dir)
+    fs.makedirs(out_dir)
+    index_manifest = pjoin(out_dir, "index.json")
+    if fs.exists(index_manifest):
+        return storage.read_json(fs, index_manifest)
 
-    staging_manifest = os.path.join(out_dir, "_staging_manifest.json")
-    staging_dir = os.path.join(out_dir, "staging")
-    stats_path = os.path.join(out_dir, "stats.parquet")
+    staging_manifest = pjoin(out_dir, "_staging_manifest.json")
+    staging_dir = pjoin(out_dir, "staging")
+    stats_path = pjoin(out_dir, "stats.parquet")
 
     # ---- stage 1: staging postings + stats (skipped if committed) ----
-    if not os.path.exists(staging_manifest):
+    if not fs.exists(staging_manifest):
         t0 = time.time()
         # persist the tokenized pass: postings, docs table, and corpus
         # stats all derive from it — without the persist the (expensive)
@@ -297,8 +294,7 @@ def build_segments(
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
-        if os.path.exists(staging_dir):
-            shutil.rmtree(staging_dir)  # uncommitted partial write: rebuild
+        fs.rmtree(staging_dir)  # uncommitted partial write: rebuild
         post.write.partitionBy("bucket").parquet(staging_dir)
         staged = spark.read.parquet(staging_dir)
         plan_block_counts(
@@ -310,11 +306,12 @@ def build_segments(
         tok.select("doc_id", "doc_len").withColumn(
             "gen", F.lit(0)
         ).withColumn("deleted", F.lit(False)).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "docs")
+            pjoin(out_dir, "docs")
         )
         cs = P.corpus_stats(tok)
         tok.unpersist()
-        _write_json_atomic(
+        storage.write_json_atomic(
+            fs,
             staging_manifest,
             {
                 "snapshot_id": snapshot_id,
@@ -329,8 +326,7 @@ def build_segments(
                 "committed": True,
             },
         )
-    with open(staging_manifest) as f:
-        stage1 = json.load(f)
+    stage1 = storage.read_json(fs, staging_manifest)
 
     # ---- stage 2: per-bucket encode, each bucket commits its manifest ----
     # Buckets are independent restart units; their jobs are submitted from
@@ -350,14 +346,12 @@ def build_segments(
     }
 
     def build_bucket(i: int) -> dict:
-        bman_path = os.path.join(out_dir, f"manifest_bucket_{i}.json")
-        seg_dir = os.path.join(out_dir, "segments", f"bucket={i}")
-        if os.path.exists(bman_path):
-            with open(bman_path) as f:
-                return json.load(f)
+        bman_path = pjoin(out_dir, f"manifest_bucket_{i}.json")
+        seg_dir = pjoin(out_dir, "segments", f"bucket={i}")
+        if fs.exists(bman_path):
+            return storage.read_json(fs, bman_path)
         t0 = time.time()
-        if os.path.exists(seg_dir):
-            shutil.rmtree(seg_dir)  # uncommitted partial write: rebuild
+        fs.rmtree(seg_dir)  # uncommitted partial write: rebuild
         staged = spark.read.parquet(staging_dir).filter(F.col("bucket") == i)
         nbs = spark.read.parquet(stats_path).select("term", "nb")
         salted = staged.join(F.broadcast(nbs), "term").withColumn(
@@ -374,13 +368,9 @@ def build_segments(
             .sortWithinPartitions("term", "salt")
             .write.parquet(seg_dir)
         )
-        import pyarrow.parquet as pq
-
-        seg_files = sorted(
-            f for f in os.listdir(seg_dir) if f.endswith(".parquet")
-        )
+        seg_files = [f for f in fs.listdir(seg_dir) if f.endswith(".parquet")]
         blocks = sum(
-            pq.read_metadata(os.path.join(seg_dir, f)).num_rows for f in seg_files
+            storage.parquet_num_rows(fs, pjoin(seg_dir, f)) for f in seg_files
         )
         bman = {
             "bucket": i,
@@ -392,7 +382,7 @@ def build_segments(
             "build_metrics": {"secs": round(time.time() - t0, 3)},
             "committed": True,
         }
-        _write_json_atomic(bman_path, bman)
+        storage.write_json_atomic(fs, bman_path, bman)
         return bman
 
     from concurrent.futures import ThreadPoolExecutor
@@ -415,7 +405,7 @@ def build_segments(
         "block_count": sum(m["block_count"] for m in bucket_manifests),
         "committed": True,
     }
-    _write_json_atomic(index_manifest, manifest)
+    storage.write_json_atomic(fs, index_manifest, manifest)
     return manifest
 
 
@@ -423,9 +413,11 @@ def validate_index(spark: SparkSession, out_dir: str) -> dict:
     """Schema/stats health gate — the analog of the reference's deep-equal
     schema validation + /__health checks (pkg/es/service.go:51-106,
     pkg/health/healthcheck.go:44-51). Raises on any invariant violation."""
-    with open(os.path.join(out_dir, "index.json")) as f:
-        manifest = json.load(f)
-    segs = spark.read.parquet(os.path.join(out_dir, "segments"))
+    fs = storage.fs_for(out_dir, spark)
+    manifest = storage.read_json(fs, pjoin(out_dir, "index.json"))
+    segs = spark.read.parquet(
+        pjoin(out_dir, manifest.get("seg_dir", "segments"))
+    )
     expect = {f.name for f in SEGMENT_SCHEMA.fields} | {"bucket"}
     got = set(segs.columns)
     if got != expect:
@@ -437,7 +429,9 @@ def validate_index(spark: SparkSession, out_dir: str) -> dict:
         raise ValueError(
             f"posting count mismatch: {agg['postings']} != {manifest['posting_count']}"
         )
-    stats = spark.read.parquet(os.path.join(out_dir, "stats.parquet"))
+    stats = spark.read.parquet(
+        pjoin(out_dir, manifest.get("stats_file", "stats.parquet"))
+    )
     df_sum = stats.agg(F.sum("df")).collect()[0][0]
     if int(df_sum or 0) != manifest["posting_count"]:
         raise ValueError("sum(df) != posting_count")
@@ -451,11 +445,16 @@ def merge_segments(
     power-of-two block count that still meets target_block. Decode → merge
     (hierarchical: new_salt = old_salt % new_nb, the nesting the aligned
     salting guarantees) → re-encode; block-max recomputed on the FINAL
-    layout (SURVEY.md §7 hard part 3). Rewrites segments/ + manifests."""
-    with open(os.path.join(out_dir, "index.json")) as f:
-        manifest = json.load(f)
+    layout (SURVEY.md §7 hard part 3). The merged base lands in a NEW
+    versioned dir committed by one index.json write (crash before the
+    commit leaves the old base fully live; the orphan dir is rebuilt)."""
+    fs = storage.fs_for(out_dir, spark)
+    manifest = storage.read_json(fs, pjoin(out_dir, "index.json"))
     tb = target_block or manifest["target_block"]
-    seg_path = os.path.join(out_dir, "segments")
+    old_seg_dir = manifest.get("seg_dir", "segments")
+    version = int(manifest.get("base_version", 0)) + 1
+    new_seg_dir = f"segments_v{version}"
+    seg_path = pjoin(out_dir, old_seg_dir)
     segs = spark.read.parquet(seg_path)
 
     def merge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -510,17 +509,20 @@ def merge_segments(
     merged = merged.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(manifest["n_buckets"])).cast("int")
     )
-    tmp_path = seg_path + ".merged"
+    new_path = pjoin(out_dir, new_seg_dir)
+    fs.rmtree(new_path)  # orphan of a crashed merge
     (
         merged.coalesce(4)
         .sortWithinPartitions("bucket", "term", "salt")
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(tmp_path)
+        .parquet(new_path)
     )
-    shutil.rmtree(seg_path)
-    os.replace(tmp_path, seg_path)
-    new_blocks = spark.read.parquet(seg_path).count()
+    new_blocks = spark.read.parquet(new_path).count()
     manifest["block_count"] = int(new_blocks)
     manifest["merged"] = True
-    _write_json_atomic(os.path.join(out_dir, "index.json"), manifest)
+    manifest["seg_dir"] = new_seg_dir
+    manifest["base_version"] = version
+    # THE commit — after this one atomic write the new base is live
+    storage.write_json_atomic(fs, pjoin(out_dir, "index.json"), manifest)
+    fs.rmtree(seg_path)  # best-effort GC of the old base

@@ -41,9 +41,6 @@ class from doc_id.
 
 from __future__ import annotations
 
-import glob
-import json
-import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -59,8 +56,10 @@ from pyspark.sql.types import (
 )
 
 from .. import BM25_B, BM25_K1
+from .. import storage
 from ..functions.analyzer import analyze_query_py
 from ..functions.hashing import pmod, xxh64_string
+from ..storage import join as pjoin
 from . import codec
 from .bm25 import ROUND_DECIMALS, bm25_partial_col
 from .segments import SEGMENT_READ_SCHEMA
@@ -163,6 +162,10 @@ class SegmentIndex:
     analyzer: str
     positions: bool = False
     generations: list[int] = field(default_factory=list)  # delta gens, sorted
+    # manifest-pointed base layout: fold/merge write a NEW versioned dir and
+    # commit it with ONE index.json write (no live-dir swap window)
+    seg_dir: str = "segments"
+    stats_file: str = "stats.parquet"
     # below this many candidate postings the two-phase pruned plan costs
     # more (an extra job round-trip + second decode pass) than it saves —
     # go straight exhaustive. Sandbox-measured crossover; at cluster scale
@@ -172,14 +175,22 @@ class SegmentIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":
-        with open(os.path.join(path, "index.json")) as f:
-            m = json.load(f)
+        fs = storage.fs_for(path, spark)
+        # heal a docs-table swap the ingest crashed in the middle of (the
+        # base segment/stats dirs are never swapped — fold/merge commit a
+        # new VERSIONED dir through index.json instead)
+        storage.restore_swap(fs, pjoin(path, "docs"))
+        m = storage.read_json(fs, pjoin(path, "index.json"))
+        # delta generations folded into the base are ignored even if their
+        # manifests still exist (fold GC is best-effort after its commit)
+        min_gen = int(m.get("min_gen", 0))
         gens = []
         stats = {"n_docs": int(m["n_docs"]), "avgdl": float(m["avgdl"]) or 1.0}
-        for mp in sorted(glob.glob(os.path.join(path, "delta_manifest_*.json"))):
-            with open(mp) as f:
-                dm = json.load(f)
-            if dm.get("committed"):
+        for name in fs.listdir(path):
+            if not (name.startswith("delta_manifest_") and name.endswith(".json")):
+                continue
+            dm = storage.read_json(fs, pjoin(path, name))
+            if dm.get("committed") and int(dm["gen"]) > min_gen:
                 gens.append(int(dm["gen"]))
                 stats = {"n_docs": int(dm["n_docs"]), "avgdl": float(dm["avgdl"]) or 1.0}
         return cls(
@@ -188,6 +199,8 @@ class SegmentIndex:
             analyzer=m.get("analyzer", "simple"),
             positions=bool(m.get("positions", False)),
             generations=sorted(gens),
+            seg_dir=m.get("seg_dir", "segments"),
+            stats_file=m.get("stats_file", "stats.parquet"),
         )
 
     # -- scans ------------------------------------------------------------
@@ -195,13 +208,13 @@ class SegmentIndex:
         """Union reader over base + delta generations (plan cached on the
         instance — re-listing parquet dirs per query is pure overhead)."""
         if getattr(self, "_segs_cache", None) is None:
-            base = self.spark.read.parquet(os.path.join(self.path, "segments")) \
+            base = self.spark.read.parquet(pjoin(self.path, self.seg_dir)) \
                 .withColumn("gen", F.lit(0))
             parts = [base]
             for g in self.generations:
                 parts.append(
                     self.spark.read.schema(SEGMENT_READ_SCHEMA).parquet(
-                        os.path.join(self.path, "delta", f"gen={g}", "segments")
+                        pjoin(self.path, "delta", f"gen={g}", "segments")
                     ).withColumn("gen", F.lit(g))
                 )
             segs = parts[0]
@@ -227,7 +240,7 @@ class SegmentIndex:
         for g in self.generations:
             parts.append(
                 self.spark.read.parquet(
-                    os.path.join(self.path, "delta", f"gen={g}", "tombstones")
+                    pjoin(self.path, "delta", f"gen={g}", "tombstones")
                 ).select("doc_id", F.lit(g).alias("tgen"))
             )
         t = parts[0]

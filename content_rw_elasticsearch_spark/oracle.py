@@ -10,7 +10,7 @@ results (CORRECTNESS_r{N}.json); tests also run them via duckdb directly.
 from __future__ import annotations
 
 from . import BM25_B, BM25_K1
-from .functions.analyzer import analyze_query_py
+from .functions.analyzer import analyze_code_py, analyze_query_py
 from .operators.bm25 import ROUND_DECIMALS
 
 # documents.parquet → token arrays, shared CTE prefix
@@ -74,6 +74,57 @@ FROM scored
 WHERE TRUE {not_clause}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def bm25_code_topk_sql(query: str, k: int = 10, mode: str = "AND",
+                       sf_dir: str | None = None) -> str:
+    """Golden-table oracle for the code-analyzer BM25 path: identifier
+    splitting + per-token folding are not expressible in the driver's SQL
+    subset, so the oracle is an independent pure-Python BM25 (the same
+    pinned analyze_code_py semantics + the engine's Lucene-idf formula)
+    over the driver's correctness-scale documents, materialized as a
+    VALUES literal. Reads sf0.01 unless sf_dir/SPARK_GRAFT_ORACLE_SF
+    overrides."""
+    import math
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    toks = {int(d): analyze_code_py(t or "") for d, t in rows}
+    n = len(toks)
+    avgdl = (sum(len(v) for v in toks.values()) / n) if n else 0.0
+    terms = sorted(set(analyze_code_py(query)))
+    counters = {d: Counter(v) for d, v in toks.items()}
+    dfreq = {t: sum(1 for c in counters.values() if c[t] > 0) for t in terms}
+    scored = []
+    for d, c in counters.items():
+        present = [t for t in terms if c[t] > 0]
+        if not present or (mode.upper() == "AND" and len(present) != len(terms)):
+            continue
+        dl = float(len(toks[d]))
+        s = 0.0
+        for t in present:
+            tf, dft = float(c[t]), float(dfreq[t])
+            idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+            s += idf * tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        scored.append((d, round(s, ROUND_DECIMALS)))
+    top = sorted(scored, key=lambda x: (-x[1], x[0]))[:k]
+    if not top:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    vals = ", ".join(f"({d}, {s!r})" for d, s in top)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS DOUBLE) AS score
+FROM (VALUES {vals}) AS t(doc_id, score)
+ORDER BY score DESC, doc_id ASC
 """
 
 

@@ -32,38 +32,30 @@ amortized merge, run off-peak.
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import storage
 from ..operators import postings as P
 from ..operators.segments import (
     SEGMENT_SCHEMA,
-    _write_json_atomic,
     encode_segments,
     plan_block_counts,
 )
+from ..storage import join as pjoin
 
 
-def _committed_gens(index_dir: str) -> list[int]:
+def _committed_gens(fs: storage.IndexFS, index_dir: str) -> list[int]:
     gens = []
-    for mp in sorted(glob.glob(os.path.join(index_dir, "delta_manifest_*.json"))):
-        with open(mp) as f:
-            dm = json.load(f)
+    for name in fs.listdir(index_dir):
+        if not (name.startswith("delta_manifest_") and name.endswith(".json")):
+            continue
+        dm = storage.read_json(fs, pjoin(index_dir, name))
         if dm.get("committed"):
             gens.append(int(dm["gen"]))
     return sorted(gens)
-
-
-def _swap_dir(tmp: str, dst: str) -> None:
-    if os.path.exists(dst):
-        shutil.rmtree(dst)
-    os.replace(tmp, dst)
 
 
 def apply_upserts(
@@ -73,20 +65,45 @@ def apply_upserts(
     text_col: str = "content",
     doc_col: str = "doc_id",
     deleted_col: str | None = None,
+    ts_col: str | None = None,
 ) -> dict | None:
     """Apply one batch of upserts/deletes as a new delta generation.
-    Returns the committed delta manifest (None for an empty batch)."""
-    with open(os.path.join(index_dir, "index.json")) as f:
-        m = json.load(f)
+    Returns the committed delta manifest (None for an empty batch).
+
+    Last-writer-wins is uuid-keyed (the reference's idempotent upsert,
+    es/service.go:119-128) — so a batch must contain ONE row per doc.
+    With ``ts_col`` the batch is reduced to each doc's latest row first
+    (row_number over ts desc; ties broken arbitrarily — use a unique
+    offset column for deterministic replays). Without it, duplicate
+    doc_ids raise: letting both versions through would double-count
+    postings in the delta generation and inflate n_docs/avgdl."""
+    fs = storage.fs_for(index_dir, spark)
+    m = storage.read_json(fs, pjoin(index_dir, "index.json"))
     if updates.isEmpty():
         return None
-    gen = (_committed_gens(index_dir) or [0])[-1] + 1
+    gen = max(_committed_gens(fs, index_dir) + [int(m.get("min_gen", 0))]) + 1
     t0 = time.time()
-    delta_dir = os.path.join(index_dir, "delta", f"gen={gen}")
-    if os.path.exists(delta_dir):
-        shutil.rmtree(delta_dir)  # uncommitted partial batch: rebuild
+    delta_dir = pjoin(index_dir, "delta", f"gen={gen}")
+    fs.rmtree(delta_dir)  # uncommitted partial batch: rebuild
 
     updates = updates.withColumnRenamed(doc_col, "doc_id")
+    if ts_col:
+        w = Window.partitionBy("doc_id").orderBy(F.desc(ts_col))
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        r = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+        ).collect()[0]
+        if int(r["n"]) != int(r["nd"]):
+            raise ValueError(
+                f"batch has {int(r['n']) - int(r['nd'])} duplicate doc_id rows; "
+                "pass ts_col= to reduce to last-writer-wins or pre-dedupe"
+            )
     is_deleted = F.col(deleted_col) if deleted_col else F.lit(False)
     live = updates.filter(~is_deleted)
     n_deletes = updates.filter(is_deleted).count()
@@ -99,7 +116,9 @@ def apply_upserts(
     ).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")
     )
-    nbs = spark.read.parquet(os.path.join(index_dir, "stats.parquet")).select("term", "nb")
+    nbs = spark.read.parquet(
+        pjoin(index_dir, m.get("stats_file", "stats.parquet"))
+    ).select("term", "nb")
     salted = post.join(F.broadcast(nbs), "term", "left").withColumn(
         "nb", F.coalesce(F.col("nb"), F.lit(1))  # unseen term → one block
     ).withColumn(
@@ -108,15 +127,16 @@ def apply_upserts(
     segs = encode_segments(salted, with_pos, partitions=2)
     segs.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")) \
         .coalesce(2).sortWithinPartitions("bucket", "term", "salt") \
-        .write.partitionBy("bucket").parquet(os.path.join(delta_dir, "segments"))
+        .write.partitionBy("bucket").parquet(pjoin(delta_dir, "segments"))
 
     # tombstones: EVERY updated doc kills its older generations
     updates.select("doc_id").distinct().write.parquet(
-        os.path.join(delta_dir, "tombstones")
+        pjoin(delta_dir, "tombstones")
     )
 
-    # docs table: exact N/avgdl (last-writer-wins swap; Iceberg MERGE analog)
-    docs_path = os.path.join(index_dir, "docs")
+    # docs table: exact N/avgdl (crash-safe swap; Iceberg MERGE analog)
+    docs_path = pjoin(index_dir, "docs")
+    storage.restore_swap(fs, docs_path)
     old = spark.read.parquet(docs_path)
     upd_ids = updates.select("doc_id").distinct()
     new_rows = tok.select("doc_id", "doc_len").withColumn("gen", F.lit(gen)) \
@@ -124,7 +144,7 @@ def apply_upserts(
     merged = old.join(upd_ids, "doc_id", "left_anti").unionByName(new_rows)
     tmp = docs_path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    _swap_dir(tmp, docs_path)
+    storage.swap_dir(fs, tmp, docs_path)
 
     row = spark.read.parquet(docs_path).agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
@@ -133,7 +153,7 @@ def apply_upserts(
 
     posting_count = int(
         spark.read.schema(SEGMENT_READ_SCHEMA)
-        .parquet(os.path.join(delta_dir, "segments"))
+        .parquet(pjoin(delta_dir, "segments"))
         .agg(F.sum("count")).collect()[0][0] or 0
     )
     manifest = {
@@ -147,8 +167,8 @@ def apply_upserts(
         "build_metrics": {"secs": round(time.time() - t0, 3)},
         "committed": True,
     }
-    _write_json_atomic(
-        os.path.join(index_dir, f"delta_manifest_{gen:06d}.json"), manifest
+    storage.write_json_atomic(
+        fs, pjoin(index_dir, f"delta_manifest_{gen:06d}.json"), manifest
     )
     return manifest
 
@@ -156,11 +176,19 @@ def apply_upserts(
 def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
     """Compact all delta generations into a fresh exact base (the Lucene
     segment-merge analog): decode, drop superseded versions, re-plan block
-    counts from exact df, re-encode, swap, drop deltas."""
+    counts from exact df, re-encode into a NEW versioned base dir, commit
+    it with ONE index.json write, then garbage-collect the old base and
+    the folded deltas.
+
+    Crash safety: the manifest commit is the only state transition — a
+    crash before it leaves the old base + deltas fully live (the v{k}
+    dirs are orphans rebuilt on retry); a crash after it leaves stale
+    old dirs/manifests that readers ignore (min_gen) and the next fold's
+    GC removes."""
     from ..operators.wand import _DECODED_SCHEMA, SegmentIndex, _decode_blocks
 
-    with open(os.path.join(index_dir, "index.json")) as f:
-        m = json.load(f)
+    fs = storage.fs_for(index_dir, spark)
+    m = storage.read_json(fs, pjoin(index_dir, "index.json"))
     idx = SegmentIndex.load(spark, index_dir)
     with_pos = bool(m.get("positions", False))
     tomb = idx._tombstones()
@@ -184,7 +212,7 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
         )
         # re-aggregate per-(term, doc) positions; exact doc_len from the
         # live docs table
-        doc_lens = spark.read.parquet(os.path.join(index_dir, "docs"))             .select("doc_id", "doc_len")
+        doc_lens = spark.read.parquet(pjoin(index_dir, "docs"))             .select("doc_id", "doc_len")
         post = (
             pos_rows.groupBy("term", "doc_id")
             .agg(F.count(F.lit(1)).alias("tf"),
@@ -198,36 +226,54 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
             .mapInPandas(_decode_blocks, _DECODED_SCHEMA)
         )
         post = decoded.select("term", "doc_id", "tf", "doc_len")
+    old_seg_dir = m.get("seg_dir", "segments")
+    old_stats = m.get("stats_file", "stats.parquet")
+    version = int(m.get("base_version", 0)) + 1
+    new_seg_dir = f"segments_v{version}"
+    new_stats = f"stats_v{version}.parquet"
+
     stats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     planned = plan_block_counts(stats, m["target_block"], m["nb_max"])
-    tmp_stats = os.path.join(index_dir, "stats.parquet.tmp")
-    planned.write.mode("overwrite").parquet(tmp_stats)
+    fs.rmtree(pjoin(index_dir, new_stats))  # orphan of a crashed fold
+    planned.write.mode("overwrite").parquet(pjoin(index_dir, new_stats))
 
     salted = post.join(
-        F.broadcast(spark.read.parquet(tmp_stats).select("term", "nb")), "term"
+        F.broadcast(
+            spark.read.parquet(pjoin(index_dir, new_stats)).select("term", "nb")
+        ), "term"
     ).withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
     )
     new_segs = encode_segments(salted, with_pos).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int"))
-    tmp_seg = os.path.join(index_dir, "segments.tmp")
+    fs.rmtree(pjoin(index_dir, new_seg_dir))
     new_segs.coalesce(4).sortWithinPartitions("bucket", "term", "salt") \
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmp_seg)
+        .write.partitionBy("bucket").mode("overwrite").parquet(pjoin(index_dir, new_seg_dir))
 
-    row = spark.read.parquet(os.path.join(index_dir, "docs")).agg(
+    row = spark.read.parquet(pjoin(index_dir, "docs")).agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
-    pc = int(spark.read.parquet(tmp_seg).agg(F.sum("count")).collect()[0][0] or 0)
+    pc = int(
+        spark.read.parquet(pjoin(index_dir, new_seg_dir))
+        .agg(F.sum("count")).collect()[0][0] or 0
+    )
 
-    _swap_dir(tmp_seg, os.path.join(index_dir, "segments"))
-    _swap_dir(tmp_stats, os.path.join(index_dir, "stats.parquet"))
-    shutil.rmtree(os.path.join(index_dir, "delta"), ignore_errors=True)
-    for mp in glob.glob(os.path.join(index_dir, "delta_manifest_*.json")):
-        os.remove(mp)
+    folded_gens = idx.generations
     m.update(
         n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0),
         posting_count=pc, folded=True,
+        seg_dir=new_seg_dir, stats_file=new_stats, base_version=version,
+        min_gen=max(folded_gens) if folded_gens else int(m.get("min_gen", 0)),
     )
-    _write_json_atomic(os.path.join(index_dir, "index.json"), m)
+    # THE commit: one atomic manifest write flips base + retires deltas
+    storage.write_json_atomic(fs, pjoin(index_dir, "index.json"), m)
+    # best-effort GC — stale leftovers are ignored by readers (min_gen /
+    # seg_dir pointers) and removed by the next fold if this crashes
+    fs.rmtree(pjoin(index_dir, old_seg_dir))
+    fs.rmtree(pjoin(index_dir, old_stats))
+    for name in fs.listdir(index_dir):
+        if name.startswith("delta_manifest_") and name.endswith(".json"):
+            fs.rmtree(pjoin(index_dir, name))
+    fs.rmtree(pjoin(index_dir, "delta"))
     return m
 
 

@@ -6,6 +6,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [name_substring ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -40,6 +41,7 @@ def normalize(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir  # golden-table oracles
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

@@ -67,6 +67,32 @@ def test_upsert_visibility_and_delete(spark):
     shutil.rmtree(path)
 
 
+def test_duplicate_doc_ids_in_batch(spark):
+    """Last-writer-wins is uuid-keyed: a batch with two versions of one
+    doc must either be reduced via ts_col (latest row wins) or rejected —
+    letting both through would double postings and inflate n_docs/avgdl."""
+    path = BASE + "_dup"
+    _mk_index(spark, path)
+    dup = spark.createDataFrame(
+        [
+            (9_999_999_002, "zzzold stale version", False, 1),
+            (9_999_999_002, "zzznew final version", False, 2),
+        ],
+        "doc_id long, content string, deleted boolean, ts long",
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        ingest.apply_upserts(spark, path, dup, "content", "doc_id", "deleted")
+    man = ingest.apply_upserts(
+        spark, path, dup, "content", "doc_id", "deleted", ts_col="ts"
+    )
+    assert man["n_upserts"] == 1
+    idx = SegmentIndex.load(spark, path)
+    assert set(_ids(idx.search("zzznew", k=10))) == {9_999_999_002}
+    assert set(_ids(idx.search("zzzold", k=10))) == set()
+    assert idx.n_docs == 121  # exactly ONE row joined the docs table
+    shutil.rmtree(path)
+
+
 def test_fold_restores_exact_parity(spark):
     path = BASE + "_fold"
     corpus = _mk_index(spark, path)

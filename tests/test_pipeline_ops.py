@@ -84,6 +84,17 @@ def test_simhash_properties(spark, docs_df):
     assert [(r[0]["d1"], r[0]["d2"], r[0]["hamming"])] == [(1, 2, 0)]
 
 
+def test_simhash_fingerprints_match_python_replay(docs_df):
+    """The JVM xxhash64 bit-vote plan must equal the independent
+    pure-Python replay (the driver oracle) fingerprint-for-fingerprint."""
+    got = {r["doc_id"]: r["fp"] for r in
+           dedup.simhash_fingerprints(docs_df, "text", "doc_id").collect()}
+    src = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    assert got == {d: dedup.simhash64_py(t or "") for d, t in src.items()}
+    # zero-token docs fingerprint to 0 via the left join
+    assert dedup.simhash64_py("") == 0
+
+
 def test_cosine_topk_vs_numpy(spark, emb_df):
     qids = [0, 7]
     got = similarity.cosine_topk(spark, emb_df, qids, k=5).collect()

@@ -137,7 +137,13 @@ def test_merge_preserves_results(spark, built):
     shutil.copytree(OUT, dst)
     before_blocks = spark.read.parquet(os.path.join(dst, "segments")).count()
     segments.merge_segments(spark, dst, target_block=10_000)
-    after_blocks = spark.read.parquet(os.path.join(dst, "segments")).count()
+    # the merged base lives in a NEW versioned dir committed via index.json
+    with open(os.path.join(dst, "index.json")) as f:
+        m = json.load(f)
+    assert m["seg_dir"] == "segments_v1" and not os.path.exists(
+        os.path.join(dst, "segments")
+    )
+    after_blocks = spark.read.parquet(os.path.join(dst, m["seg_dir"])).count()
     assert after_blocks < before_blocks, "merge must compact blocks"
     seg = SegmentIndex.load(spark, dst)
     seg.prune_min_postings = 0
