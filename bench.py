@@ -52,7 +52,7 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
     out_dir = f"/tmp/spark_graft_bench_idx_{cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    build_segments(
+    manifest = build_segments(
         corpus, out_dir, text_col=text_col, doc_col="doc_id",
         n_buckets=8, snapshot_id=label,
     )
@@ -86,6 +86,7 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         "n_docs": n_docs,
         "cpus": cpus,
         "query_p50_sec": round(sorted(qtimes.values())[len(qtimes) // 2], 4),
+        "build_metrics": manifest.get("build_metrics", {}),
     }
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)

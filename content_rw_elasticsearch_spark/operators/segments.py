@@ -111,51 +111,22 @@ def plan_block_counts(stats: DataFrame, target_block: int = TARGET_BLOCK,
     return stats.withColumn("nb", F.greatest(F.lit(1), nb))
 
 
-def _encode_group_fn(with_positions: bool = False):
-    """applyInPandas group encoder: one (term, salt) group → one segment row.
-    All numpy-vectorized; no per-posting Python."""
-
-    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, salt, nb = key
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order]
-        tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
-        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
-        pos_vb = b""
-        if with_positions and "positions" in pdf.columns and doc_ids.size:
-            plists = pdf["positions"].to_numpy(dtype=object)[order]
-            flat = np.concatenate([np.asarray(p, dtype=np.uint64) for p in plists])
-            if flat.size:
-                pos_vb = codec.positions_encode(flat, tfs)
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "salt": [int(salt)],
-                "nb": [int(nb)],
-                "count": [int(doc_ids.size)],
-                "max_tf": [int(tfs.max()) if tfs.size else 0],
-                "min_dl": [int(dls.min()) if dls.size else 1],
-                "docs_vb": [codec.delta_encode(doc_ids)],
-                "tfs_vb": [codec.varbyte_encode(tfs)],
-                "dlens_vb": [codec.varbyte_encode(dls)],
-                "pos_vb": [pos_vb],
-            }
-        )
-
-    return encode
-
-
-def _encode_stream_fn(with_positions: bool = False):
+def _encode_stream_fn(with_positions: bool = False,
+                      carry_cols: list[str] | None = None):
     """Sorted-stream encoder: mapInPandas over partitions that are
     repartitioned by (term, salt) and sorted by (term, salt, doc_id).
     Groups are sliced with numpy boundary detection instead of one Arrow
     batch per group (applyInPandas) — one Python call per ~10k-row batch
     regardless of group count, which removes the per-group Arrow overhead
     that dominated the encode stage for small blocks. A group can span
-    Arrow batches, so the tail group of each batch is carried over."""
+    Arrow batches, so the tail group of each batch is carried over.
 
-    def encode_rows(term, salt, nb, doc_ids, tfs, dls, plists):
+    ``carry_cols`` ride through unchanged (constant within a (term, salt)
+    group, e.g. the bucket id) so the caller can write partitionBy(bucket)
+    from the same job."""
+    carry_cols = carry_cols or []
+
+    def encode_rows(term, salt, nb, doc_ids, tfs, dls, plists, carry):
         order = np.argsort(doc_ids, kind="stable")
         doc_ids = doc_ids[order]
         tfs = tfs[order]
@@ -167,7 +138,7 @@ def _encode_stream_fn(with_positions: bool = False):
             ) if len(plists) else np.empty(0, np.uint64)
             if flat.size:
                 pos_vb = codec.positions_encode(flat, tfs)
-        return {
+        row = {
             "term": term, "salt": int(salt), "nb": int(nb),
             "count": int(doc_ids.size),
             "max_tf": int(tfs.max()) if tfs.size else 0,
@@ -177,6 +148,8 @@ def _encode_stream_fn(with_positions: bool = False):
             "dlens_vb": codec.varbyte_encode(dls),
             "pos_vb": pos_vb,
         }
+        row.update(carry)
+        return row
 
     def run(batches):
         carry: pd.DataFrame | None = None
@@ -212,6 +185,7 @@ def _encode_stream_fn(with_positions: bool = False):
                     body["term"].iat[s], body["salt"].iat[s], body["nb"].iat[s],
                     doc_ids[s:e], tfs[s:e], dls[s:e],
                     plists[s:e] if plists is not None else None,
+                    {c: body[c].iat[s] for c in carry_cols},
                 )
                 for s, e in zip(starts, ends)
             ]
@@ -228,26 +202,43 @@ def _encode_stream_fn(with_positions: bool = False):
                     carry["tf"].to_numpy(dtype=np.uint64),
                     carry["doc_len"].to_numpy(dtype=np.uint64),
                     plists,
+                    {c: carry[c].iat[0] for c in carry_cols},
                 )
             ])
 
     return run
 
 
+ENCODE_PARTITION_FACTOR = 4  # partitions per core: straggler smoothing —
+# with exactly one partition per core the slowest (term,salt)-hash
+# partition stalls the whole encode stage; 4x gives the scheduler slack
+# to rebalance (measured: see BENCH/BASELINE.md round-2 notes)
+
+
 def encode_segments(salted: DataFrame, with_positions: bool = False,
-                    partitions: int | None = None) -> DataFrame:
+                    partitions: int | None = None,
+                    carry_cols: list[str] | None = None) -> DataFrame:
     """salted postings (term, salt, nb, doc_id, tf, doc_len[, positions])
-    → segment rows, via the sorted-stream encoder."""
+    → segment rows, via the sorted-stream encoder. ``carry_cols`` are
+    extra columns constant per (term, salt) group (e.g. bucket) emitted
+    unchanged on the segment rows."""
     spark = salted.sparkSession
-    parts = partitions or spark.sparkContext.defaultParallelism
+    carry_cols = carry_cols or []
+    parts = partitions or (
+        spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR
+    )
     cols = ["term", "salt", "nb", "doc_id", "tf", "doc_len"] + (
         ["positions"] if with_positions else []
+    ) + carry_cols
+    schema = StructType(
+        list(SEGMENT_SCHEMA.fields)
+        + [salted.schema[c] for c in carry_cols]
     )
     return (
         salted.select(*cols)
         .repartition(parts, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(_encode_stream_fn(with_positions), SEGMENT_SCHEMA)
+        .mapInPandas(_encode_stream_fn(with_positions, carry_cols), schema)
     )
 
 
@@ -282,6 +273,7 @@ def build_segments(
     # ---- stage 1: staging postings + stats (skipped if committed) ----
     if not fs.exists(staging_manifest):
         t0 = time.time()
+        timings: dict[str, float] = {}
         # persist the tokenized pass: postings, docs table, and corpus
         # stats all derive from it — without the persist the (expensive)
         # tokenize would run three times. (A single-pass explode_outer +
@@ -295,21 +287,50 @@ def build_segments(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
         fs.rmtree(staging_dir)  # uncommitted partial write: rebuild
+        t = time.time()
         post.write.partitionBy("bucket").parquet(staging_dir)
-        staged = spark.read.parquet(staging_dir)
-        plan_block_counts(
-            P.term_stats(staged), target_block, nb_max
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        ).write.mode("overwrite").parquet(stats_path)
-        # docs table: exact N/avgdl bookkeeping, updated by deltas (gen 0)
-        tok.select("doc_id", "doc_len").withColumn(
-            "gen", F.lit(0)
-        ).withColumn("deleted", F.lit(False)).write.mode("overwrite").parquet(
-            pjoin(out_dir, "docs")
-        )
-        cs = P.corpus_stats(tok)
+        timings["staging_write"] = round(time.time() - t, 3)
+
+        # the three derived jobs are mutually independent once staging is
+        # committed and tok is cached — submit them CONCURRENTLY so their
+        # stage tails overlap instead of paying three sequential job
+        # latencies (a measured term of the per-build Amdahl constant)
+        def job_stats() -> float:
+            t = time.time()
+            staged = spark.read.parquet(staging_dir)
+            plan_block_counts(
+                P.term_stats(staged), target_block, nb_max
+            ).withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            ).write.mode("overwrite").parquet(stats_path)
+            return round(time.time() - t, 3)
+
+        def job_docs() -> float:
+            t = time.time()
+            # docs table: exact N/avgdl bookkeeping, updated by deltas (gen 0)
+            tok.select("doc_id", "doc_len").withColumn(
+                "gen", F.lit(0)
+            ).withColumn("deleted", F.lit(False)).write.mode("overwrite").parquet(
+                pjoin(out_dir, "docs")
+            )
+            return round(time.time() - t, 3)
+
+        def job_cstats():
+            t = time.time()
+            cs = P.corpus_stats(tok)
+            return cs, round(time.time() - t, 3)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stats = pool.submit(job_stats)
+            f_docs = pool.submit(job_docs)
+            f_cstats = pool.submit(job_cstats)
+            timings["stats_write"] = f_stats.result()
+            timings["docs_write"] = f_docs.result()
+            cs, timings["corpus_stats"] = f_cstats.result()
         tok.unpersist()
+        timings["secs"] = round(time.time() - t0, 3)
         storage.write_json_atomic(
             fs,
             staging_manifest,
@@ -322,76 +343,101 @@ def build_segments(
                 "target_block": target_block,
                 "analyzer": analyzer,
                 "positions": with_positions,
-                "build_metrics": {"secs": round(time.time() - t0, 3)},
+                "build_metrics": timings,
                 "committed": True,
             },
         )
     stage1 = storage.read_json(fs, staging_manifest)
 
-    # ---- stage 2: per-bucket encode, each bucket commits its manifest ----
-    # Buckets are independent restart units; their jobs are submitted from
-    # a thread pool so the cluster stays saturated (sequential bucket jobs
-    # leave executors idle during each bucket's stage tails — measured 4-5x
-    # wall-clock loss at local[32]). Resumability is unchanged: one
-    # manifest per bucket, committed last, skipped when present.
+    # ---- stage 2: encode the missing buckets in ONE Spark job ----
+    # Buckets remain independent RESTART units (one manifest per bucket,
+    # committed last, skipped when present) but are encoded together in a
+    # single job: filter staging to the missing buckets (directory
+    # pruning), one broadcast of the block plan, one (term, salt) shuffle,
+    # one partitionBy(bucket) write. Round 1 ran one thread-pooled Spark
+    # job PER bucket; the 8x job scheduling / broadcast / scan overhead
+    # was the dominant per-build Amdahl term (measured ~1.8x stage-2
+    # wall-clock at 300k docs, local[8]).
     #
     # Per-bucket posting counts come from the (small) stats parquet — the
     # encoder preserves posting counts exactly and Σ df per bucket equals
     # them — and block counts from parquet footers via pyarrow: no extra
-    # Spark jobs per bucket (a measured Amdahl serial term).
-    bucket_postings = {
-        int(r["bucket"]): int(r["n"])
-        for r in spark.read.parquet(stats_path)
-        .groupBy("bucket").agg(F.sum("df").alias("n")).collect()
-    }
-
-    def build_bucket(i: int) -> dict:
-        bman_path = pjoin(out_dir, f"manifest_bucket_{i}.json")
-        seg_dir = pjoin(out_dir, "segments", f"bucket={i}")
-        if fs.exists(bman_path):
-            return storage.read_json(fs, bman_path)
-        t0 = time.time()
-        fs.rmtree(seg_dir)  # uncommitted partial write: rebuild
-        staged = spark.read.parquet(staging_dir).filter(F.col("bucket") == i)
+    # Spark jobs per bucket.
+    t2 = time.time()
+    nb = stage1["n_buckets"]
+    missing = [
+        i for i in range(nb)
+        if not fs.exists(pjoin(out_dir, f"manifest_bucket_{i}.json"))
+    ]
+    if missing:
+        bucket_postings = {
+            int(r["bucket"]): int(r["n"])
+            for r in spark.read.parquet(stats_path)
+            .groupBy("bucket").agg(F.sum("df").alias("n")).collect()
+        }
+        for i in missing:
+            fs.rmtree(pjoin(out_dir, "segments", f"bucket={i}"))  # partial write
+        staged = spark.read.parquet(staging_dir)
+        if len(missing) < nb:  # resume: encode ONLY the missing buckets
+            staged = staged.filter(F.col("bucket").isin(missing))
         nbs = spark.read.parquet(stats_path).select("term", "nb")
         salted = staged.join(F.broadcast(nbs), "term").withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
         )
-        segs = encode_segments(salted, stage1.get("positions", False))
-        # coalesce, NOT repartitionByRange: range partitioning samples
-        # boundaries by re-executing the whole upstream encode twice per
-        # bucket (measured 3x stage-2 wall-clock). The local sort alone
-        # gives parquet row-group min/max term pruning; bucket directories
-        # remain the primary prune.
+        segs = encode_segments(
+            salted.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
+            ),
+            stage1.get("positions", False),
+            carry_cols=["bucket"],
+        )
+        # local sort only (NOT repartitionByRange: boundary sampling
+        # re-executes the whole upstream encode — measured 3x stage-2
+        # wall-clock). Rows leave the encoder term-sorted; the explicit
+        # (bucket, term, salt) sort keeps that order inside each bucket
+        # file for parquet row-group min/max term pruning (the writer's
+        # own partition sort is not order-preserving within a bucket).
         (
-            segs.coalesce(2)
-            .sortWithinPartitions("term", "salt")
-            .write.parquet(seg_dir)
+            segs.sortWithinPartitions("bucket", "term", "salt")
+            .write.partitionBy("bucket").mode("append")
+            .parquet(pjoin(out_dir, "segments"))
         )
-        seg_files = [f for f in fs.listdir(seg_dir) if f.endswith(".parquet")]
-        blocks = sum(
-            storage.parquet_num_rows(fs, pjoin(seg_dir, f)) for f in seg_files
-        )
-        bman = {
-            "bucket": i,
-            "snapshot_id": stage1["snapshot_id"],
-            "partition_range": {"bucket": i, "n_buckets": stage1["n_buckets"]},
-            "posting_count": bucket_postings.get(i, 0),
-            "block_count": int(blocks),
-            "segment_files": seg_files,
-            "build_metrics": {"secs": round(time.time() - t0, 3)},
-            "committed": True,
-        }
-        storage.write_json_atomic(fs, bman_path, bman)
-        return bman
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(8, stage1["n_buckets"])) as pool:
-        bucket_manifests = list(pool.map(build_bucket, range(stage1["n_buckets"])))
+        encode_secs = round(time.time() - t2, 3)
+        for i in missing:
+            seg_dir = pjoin(out_dir, "segments", f"bucket={i}")
+            seg_files = (
+                [f for f in fs.listdir(seg_dir) if f.endswith(".parquet")]
+                if fs.exists(seg_dir) else []
+            )
+            blocks = sum(
+                storage.parquet_num_rows(fs, pjoin(seg_dir, f)) for f in seg_files
+            )
+            storage.write_json_atomic(
+                fs, pjoin(out_dir, f"manifest_bucket_{i}.json"),
+                {
+                    "bucket": i,
+                    "snapshot_id": stage1["snapshot_id"],
+                    "partition_range": {"bucket": i, "n_buckets": nb},
+                    "posting_count": bucket_postings.get(i, 0),
+                    "block_count": int(blocks),
+                    "segment_files": seg_files,
+                    "build_metrics": {"secs": encode_secs,
+                                      "buckets_in_job": len(missing)},
+                    "committed": True,
+                },
+            )
+    bucket_manifests = [
+        storage.read_json(fs, pjoin(out_dir, f"manifest_bucket_{i}.json"))
+        for i in range(nb)
+    ]
+    stage2_secs = round(time.time() - t2, 3)
 
     # ---- stage 3: global manifest, committed last ----
     manifest = {
+        "build_metrics": {
+            "stage1": stage1.get("build_metrics", {}),
+            "stage2_secs": stage2_secs,
+        },
         "version": 1,
         "snapshot_id": stage1["snapshot_id"],
         "analyzer": stage1["analyzer"],
