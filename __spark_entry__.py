@@ -23,6 +23,7 @@ from content_rw_elasticsearch_spark.operators import (
     similarity,
     textstats,
 )
+from content_rw_elasticsearch_spark.plans import concordance as CONC
 from content_rw_elasticsearch_spark.plans import index_model as IM
 from content_rw_elasticsearch_spark.plans import relational as R
 from content_rw_elasticsearch_spark.queries import REFERENCE_QUERIES
@@ -162,6 +163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         IM.annotations_from_documents(s, d))
     out["etl_authors"] = lambda s, d: IM.author_buckets(
         IM.annotations_from_documents(s, d))
+    # D2 concordance grouping/alias model (concordance.go:97-119)
+    out["etl_concordance_model"] = lambda s, d: CONC.concordance_model(
+        CONC.concordances_from_documents(s, d), joined=True)
     out["etl_cmr_id_fallback"] = lambda s, d: IM.cmr_id_fallback(
         IM.annotations_from_documents(s, d))
     # relational operator plans (SURVEY §2.D/F/H + A2)
@@ -188,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5)
     out["sim_ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(
+        s, _emb(s, d), ANN_QUERY_IDS, k=5)
+    out["sim_ann_multiprobe_topk"] = lambda s, d: similarity.ann_multiprobe_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5)
     out["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "text", "doc_id")
     out["text_quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "text", "doc_id")
@@ -226,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
     out["etl_primary_theme"] = oracle.primary_theme_sql()
     out["etl_sections"] = oracle.sections_sql()
     out["etl_authors"] = oracle.authors_sql()
+    out["etl_concordance_model"] = CONC.concordance_model_sql()
     out["etl_cmr_id_fallback"] = oracle.cmr_id_fallback_sql()
     out["join_region_revenue"] = R.region_revenue_sql()
     out["window_top3_orders"] = R.top3_orders_per_customer_sql()
@@ -242,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_simhash"] = dedup.simhash_pairs_sql(max_hamming=3)
     out["sim_cosine_topk"] = similarity.cosine_topk_sql(ANN_QUERY_IDS, k=5)
     out["sim_ann_lsh_topk"] = similarity.ann_lsh_topk_sql(64, ANN_QUERY_IDS, k=5)
+    out["sim_ann_multiprobe_topk"] = similarity.ann_multiprobe_topk_sql(
+        64, ANN_QUERY_IDS, k=5)
     out["text_token_counts"] = textstats.token_counts_sql()
     out["text_quality_scores"] = textstats.quality_scores_sql()
     out["text_language_id"] = textstats.language_id_sql()

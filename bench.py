@@ -35,8 +35,16 @@ from content_rw_elasticsearch_spark.sources.corpus import (  # noqa: E402
 
 
 def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
+    # shuffle partitions must scale with DATA, not just cores: at 3M docs
+    # (~270M posting rows) 8 reduce partitions put ~34M rows in each hash
+    # aggregate — it spills, and it spills MORE at higher core counts
+    # (concurrent reducers share the heap), which silently taxes the
+    # high-parallelism leg of the scaling measurement. ~2M rows per
+    # partition keeps the agg in memory at any leg.
+    n_hint = synth_docs or 100_000
+    shuffle_parts = max(cpus * 4, n_hint // 25_000)
     spark = get_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=shuffle_parts
     )
     spark.sparkContext.setLogLevel("ERROR")
     if synth_docs:
@@ -74,6 +82,38 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         idx.search(spec["query"], k=spec["k"], mode=spec["mode"]).collect()
         qtimes[name] = round(time.time() - t, 4)
 
+    # block-max WAND pruned branch, FORCED (prune_min_postings=0): at small
+    # scale every query ducks under the crossover threshold and takes the
+    # exhaustive branch, so the two-phase pruned plan's latency would
+    # otherwise never be measured (the correctness of the branch is gated
+    # by the wand_* driver queries + tests)
+    saved = idx.prune_min_postings
+    idx.prune_min_postings = 0
+    qtimes_pruned: dict[str, float] = {}
+    for name, spec in REFERENCE_QUERIES.items():
+        t = time.time()
+        idx.search(spec["query"], k=spec["k"], mode=spec["mode"], prune=True).collect()
+        qtimes_pruned[name] = round(time.time() - t, 4)
+    idx.prune_min_postings = saved
+
+    # phrase latency through the positional segment store (sf mode only —
+    # the scaling legs must keep the identical non-positional job)
+    phrase_times: dict[str, float] = {}
+    if not synth_docs:
+        pos_dir = out_dir + "_pos"
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        build_segments(
+            corpus, pos_dir, text_col=text_col, doc_col="doc_id",
+            n_buckets=8, snapshot_id=label, with_positions=True,
+        )
+        pidx = SegmentIndex.load(spark, pos_dir)
+        pidx.phrase_search(hot).collect()  # warm the positional decode path
+        for phrase in ("hash join", "customer data group"):
+            t = time.time()
+            pidx.phrase_search(phrase).collect()
+            phrase_times[phrase.replace(" ", "_")] = round(time.time() - t, 4)
+        shutil.rmtree(pos_dir, ignore_errors=True)
+
     total = round(build_sec + sum(qtimes.values()), 4)
     result = {
         "metric": "segment_index_build_plus_reference_queries",
@@ -86,6 +126,11 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         "n_docs": n_docs,
         "cpus": cpus,
         "query_p50_sec": round(sorted(qtimes.values())[len(qtimes) // 2], 4),
+        "queries_pruned_forced": qtimes_pruned,
+        "phrase_queries": phrase_times,
+        "pruned_p50_sec": round(
+            sorted(qtimes_pruned.values())[len(qtimes_pruned) // 2], 4
+        ),
         "build_metrics": manifest.get("build_metrics", {}),
     }
     spark.stop()

@@ -224,8 +224,12 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
     unchanged on the segment rows."""
     spark = salted.sparkSession
     carry_cols = carry_cols or []
-    parts = partitions or (
-        spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR
+    # honor the session's shuffle sizing when it is larger — encode
+    # partitions must scale with data volume (postings per partition must
+    # fit the in-memory sort), not just with cores
+    parts = partitions or max(
+        spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "0") or 0),
     )
     cols = ["term", "salt", "nb", "doc_id", "tf", "doc_len"] + (
         ["positions"] if with_positions else []
@@ -391,14 +395,18 @@ def build_segments(
             stage1.get("positions", False),
             carry_cols=["bucket"],
         )
-        # local sort only (NOT repartitionByRange: boundary sampling
-        # re-executes the whole upstream encode — measured 3x stage-2
-        # wall-clock). Rows leave the encoder term-sorted; the explicit
-        # (bucket, term, salt) sort keeps that order inside each bucket
-        # file for parquet row-group min/max term pruning (the writer's
-        # own partition sort is not order-preserving within a bucket).
+        # the encoded blocks are tiny relative to the postings (compressed
+        # segment rows), so one cheap extra shuffle packs them into one
+        # partition per bucket: the partitionBy write then emits O(buckets)
+        # files instead of O(encode_tasks x buckets) — small-files pressure
+        # AND the driver-serial commit-protocol cost both scale with file
+        # count. NOT repartitionByRange (boundary sampling re-executes the
+        # whole upstream encode — measured 3x stage-2 wall-clock); the
+        # (term, salt) sort keeps term order inside each bucket file for
+        # parquet row-group min/max pruning.
         (
-            segs.sortWithinPartitions("bucket", "term", "salt")
+            segs.repartition(len(missing), "bucket")
+            .sortWithinPartitions("bucket", "term", "salt")
             .write.partitionBy("bucket").mode("append")
             .parquet(pjoin(out_dir, "segments"))
         )

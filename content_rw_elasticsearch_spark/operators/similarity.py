@@ -132,6 +132,87 @@ def ann_lsh_topk(
     )
 
 
+def ann_multiprobe_topk(
+    spark: SparkSession, emb: DataFrame, query_ids: list[int], k: int = 5,
+    n_planes: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket PLUS every
+    bucket at Hamming distance 1 (flip one hyperplane bit) — recovers the
+    near-misses where query and true neighbor straddle exactly one
+    hyperplane, the dominant recall-loss mode of single-bucket probing.
+    Probed volume is (n_planes+1)/2^n_planes of N — still a vanishing
+    fraction at scale, and the probe list is computed on the broadcast
+    (query) side so the big table is still touched via its bucket
+    partition key. Buckets partition the space, so probes are disjoint —
+    no dedupe stage."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", _bucket_expr(F.col("v"), planes))
+    probe_list = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    q = (
+        base.filter(F.col("neighbor_id").isin(query_ids))
+        .select(
+            F.col("neighbor_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .withColumn("probe", F.explode(probe_list))
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        base.join(F.broadcast(q), F.col("bucket") == F.col("probe"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, ROUND).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_multiprobe_topk_sql(
+    dim: int, query_ids: list[int], k: int = 5, n_planes: int = 8, seed: int = 42
+) -> str:
+    """Oracle replay of ann_multiprobe_topk (identical literal planes,
+    Hamming-1 probe set via xor)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(["q.qbucket"] + [f"xor(q.qbucket, {1 << i})" for i in range(n_planes)])
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM bucketed WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+               {ROUND}) AS cos
+  FROM bucketed b JOIN q ON b.bucket IN ({probes})
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def ann_lsh_topk_sql(
     dim: int, query_ids: list[int], k: int = 5, n_planes: int = 8, seed: int = 42
 ) -> str:

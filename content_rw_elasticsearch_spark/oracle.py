@@ -218,9 +218,10 @@ enriched AS (
          CASE WHEN doc_id % 5 = 0 THEN ''
               ELSE 'http://api.ft.com/content/' || md5(CAST(doc_id AS VARCHAR) || 'img')
               END AS main_image,
-         list_extract(['video/mp4','audio/mp3','text/html'],
-                      CAST(doc_id % 3 + 1 AS INT)) AS media_type,
-         CAST(doc_id * 37 % 600000 AS INT) AS duration,
+         [struct_pack(
+            duration := CAST(doc_id * 37 % 600000 AS INT),
+            media_type := list_extract(['video/mp4','audio/mp3','text/html'],
+                                       CAST(doc_id % 3 + 1 AS INT)))] AS data_sources,
          doc_id % 97 = 0 AS marked_deleted
   FROM documents
 )
@@ -362,10 +363,12 @@ SELECT uuid AS uid,
        CASE WHEN content_type <> 'blog' AND main_image <> ''
             THEN replace('{img}', '{IMAGE_PLACEHOLDER}',
                          string_split(main_image, '/')[-1]) END AS thumbnail_url,
-       CAST(CASE WHEN content_type = 'video' AND starts_with(media_type, 'video')
-                 THEN duration
-                 WHEN content_type = 'audio' THEN duration
-                 ELSE 0 END AS INT) AS length_millis,
+       CAST(coalesce(
+            CASE WHEN content_type = 'video'
+                 THEN list_filter(data_sources,
+                                  x -> starts_with(x.media_type, 'video'))[1].duration
+                 WHEN content_type = 'audio' THEN data_sources[1].duration
+                 END, 0) AS INT) AS length_millis,
        'https://www.ft.com/content/' || uuid AS url,
        'https://api.ft.com/content/' || uuid AS model_api_url,
        tid AS publish_reference,

@@ -187,12 +187,18 @@ def enriched_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("http://api.ft.com/content/"),
                      F.md5(F.concat(doc_id.cast("string"), F.lit("img"))))
         ).alias("main_image"),
-        # dataSource[0] (schema.go:122-125)
-        F.try_element_at(
-            F.array(F.lit("video/mp4"), F.lit("audio/mp3"), F.lit("text/html")),
-            (doc_id % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        (doc_id * 37 % 600000).cast("int").alias("duration"),
+        # dataSource (schema.go:122-125) — one synthetic rendition; the
+        # multi-rendition first-match rule is pinned by the reference
+        # golden fixture tests (testEnrichedContentModel4.json has 4)
+        F.array(
+            F.struct(
+                (doc_id * 37 % 600000).cast("int").alias("duration"),
+                F.try_element_at(
+                    F.array(F.lit("video/mp4"), F.lit("audio/mp3"), F.lit("text/html")),
+                    (doc_id % 3 + 1).cast("int"),
+                ).alias("media_type"),
+            )
+        ).alias("data_sources"),
         (doc_id % 97 == 0).alias("marked_deleted"),
     )
 
@@ -293,14 +299,24 @@ def to_index_model(enriched: DataFrame,
                 (F.col("content_type") != "blog") & (F.col("main_image") != ""),
                 F.replace(F.lit(IMAGE_SERVICE_URL), F.lit(IMAGE_PLACEHOLDER), img_uuid),
             ).alias("thumbnail_url"),
-            # length_millis (mapper.go:243-255): video → first dataSource
+            # length_millis (mapper.go:243-255): video → FIRST dataSource
             # with a video/* mediaType; audio → first dataSource; else 0
-            F.when(
-                (F.col("content_type") == "video")
-                & F.col("media_type").startswith("video"),
-                F.col("duration"),
-            ).when(F.col("content_type") == "audio", F.col("duration"))
-            .otherwise(F.lit(0)).cast("int").alias("length_millis"),
+            F.coalesce(
+                F.when(
+                    F.col("content_type") == "video",
+                    F.try_element_at(
+                        F.filter(
+                            F.col("data_sources"),
+                            lambda d: d["media_type"].startswith("video"),
+                        ),
+                        F.lit(1),
+                    )["duration"],
+                ).when(
+                    F.col("content_type") == "audio",
+                    F.try_element_at("data_sources", F.lit(1))["duration"],
+                ),
+                F.lit(0),
+            ).cast("int").alias("length_millis"),
             web_url(F.col("uuid")).alias("url"),
             api_url(F.col("uuid")).alias("model_api_url"),
             F.col("tid").alias("publish_reference"),
@@ -454,6 +470,24 @@ def annotation_buckets(anns: DataFrame, concept_type: str, out_col: str,
         .agg(bucket.alias(out_col))
         .orderBy("uuid")
     )
+
+
+def taxonomy_buckets(anns: DataFrame, concept_type: str,
+                     label_col: str, ids_col: str) -> DataFrame:
+    """E1/E2/E3 with the FULL reference field pair: per concept type,
+    pref_labels (appendIfNotExists order) AND the flattened ann_ids
+    (prepareElasticField order — each annotation contributes
+    [canonical] + tme_ids, globally deduped first-seen). This is what
+    populateAnnotationRelatedFields does per switch branch
+    (mapper.go:92-148); used by the reference-golden fixture tests.
+    Emits '|'-joined scalars."""
+    flt = filtered_annotations(anns).filter(F.col("concept_type") == concept_type)
+    labels = _first_seen_array(flt, F.col("pref_label"), F.col("ann_pos"), label_col)
+    ids = _first_seen_array(
+        flt.select("uuid", "ann_pos", F.posexplode("ann_ids").alias("i", "id")),
+        F.col("id"), F.col("ann_pos") * 100 + F.col("i"), ids_col,
+    )
+    return labels.join(ids, "uuid").orderBy("uuid")
 
 
 def section_accumulation(anns: DataFrame) -> DataFrame:

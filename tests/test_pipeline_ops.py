@@ -126,6 +126,27 @@ def test_ann_lsh_subset_of_bruteforce_bucket(spark, emb_df):
         assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
 
 
+def test_ann_multiprobe_improves_recall(spark, emb_df):
+    """Hamming-1 multi-probe must (a) stay exact on cos values, (b) never
+    lose a neighbor the single-bucket probe found, and (c) recover at
+    least as many true top-k neighbors overall."""
+    qids = [0, 7, 42, 99, 123]
+    k = 5
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.ann_lsh_topk(spark, emb_df, qids, k=k).collect()}
+    multi_rows = similarity.ann_multiprobe_topk(spark, emb_df, qids, k=k).collect()
+    multi = {(r["query_id"], r["neighbor_id"]) for r in multi_rows}
+    exact_rows = similarity.cosine_topk(spark, emb_df, qids, k=k).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos"]
+             for r in similarity.cosine_topk(spark, emb_df, qids, k=500).collect()}
+    for r in multi_rows:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+    # per query, the multi-probe candidate set contains the single-probe
+    # one, so each query's top-k cos floor can only rise
+    assert len(multi & exact) >= len(single & exact)
+
+
 def test_language_id_deterministic(spark):
     df = spark.createDataFrame(
         [
