@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from content_rw_elasticsearch_spark import __version__, oracle
 from content_rw_elasticsearch_spark.engine import InMemoryIndex
+from content_rw_elasticsearch_spark.operators.fields import FieldedIndex
 from content_rw_elasticsearch_spark.operators.segments import build_segments
 from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
 from content_rw_elasticsearch_spark.operators import (
@@ -29,9 +30,37 @@ from content_rw_elasticsearch_spark.plans import relational as R
 from content_rw_elasticsearch_spark.queries import REFERENCE_QUERIES
 
 ANN_QUERY_IDS = [0, 7, 42, 99, 123]
+EMBEDDING_DIM = 64  # driver embeddings.parquet schema (TESTDATA.md)
 
 _INDEX_CACHE: dict[tuple, InMemoryIndex] = {}
 _SEG_CACHE: dict[tuple, SegmentIndex] = {}
+_FIELD_CACHE: dict[tuple, FieldedIndex] = {}
+
+# field-scoped index surface (operators/fields.py — the ES per-field
+# analyzed indexes analog): title = the enriched table's title derivation
+# (first 5 whitespace words), body = the full text
+def _field_exprs_spark():
+    from pyspark.sql import functions as F
+    return {
+        "title": F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)),
+        "body": F.col("text"),
+    }
+
+
+FIELD_EXPRS_SQL = {
+    "title": "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')",
+    "body": "text",
+}
+
+
+def _fielded_index_for(spark: SparkSession, sf_dir: str) -> FieldedIndex:
+    key = (id(spark), sf_dir)
+    if key not in _FIELD_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _FIELD_CACHE[key] = FieldedIndex.build(
+            docs, _field_exprs_spark(), doc_col="doc_id", analyzer="simple"
+        )
+    return _FIELD_CACHE[key]
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> InMemoryIndex:
@@ -141,6 +170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _INDEX_CACHE[key].search("hash join", k=10, mode="AND")
 
     out["bm25_code_analyzer"] = _bm25_code_analyzer
+    # field-scoped search (§2.J — ES per-field analyzed indexes): the SAME
+    # query against title vs body ranks differently (per-field df/avgdl)
+    out["bm25_field_title"] = lambda s, d: _fielded_index_for(s, d).search(
+        "hash join", field="title", k=10, mode="AND")
+    out["bm25_field_body"] = lambda s, d: _fielded_index_for(s, d).search(
+        "hash join", field="body", k=10, mode="AND")
     out["phrase_two"] = functools.partial(_phrase_query, "hash join")
     out["phrase_three"] = functools.partial(_phrase_query, "customer data group")
     out["index_term_postings"] = _term_postings
@@ -156,6 +191,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         IM.annotations_from_documents(s, d), "PERSON", "cmr_people", joined=True)
     out["etl_topic_buckets"] = lambda s, d: IM.annotation_buckets(
         IM.annotations_from_documents(s, d), "TOPIC", "cmr_topics", joined=True)
+    # COMPANY branch (mapper.go:126-128) — oracle-gated through the driver
+    out["etl_company_buckets"] = lambda s, d: IM.annotation_buckets(
+        IM.annotations_from_documents(s, d), "COMPANY", "cmr_companynames",
+        joined=True)
+    # the COMPLETE assembled IndexModel document (mapper.go:54-90): scalars
+    # + all buckets + primaries in one wide row per written doc
+    out["etl_full_document"] = lambda s, d: IM.full_index_model(
+        IM.enriched_from_documents(s, d),
+        IM.annotations_from_documents(s, d)).orderBy("uid")
     out["etl_primary_theme"] = lambda s, d: IM.primary_theme(
         IM.annotations_from_documents(s, d))
     # E4 section accumulation + E6 author gating (mapper.go:272-291, :107-124)
@@ -192,9 +236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5)
     out["sim_ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(
-        s, _emb(s, d), ANN_QUERY_IDS, k=5)
+        s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
     out["sim_ann_multiprobe_topk"] = lambda s, d: similarity.ann_multiprobe_topk(
-        s, _emb(s, d), ANN_QUERY_IDS, k=5)
+        s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
+    out["sim_ann_multitable_topk"] = lambda s, d: similarity.ann_multitable_topk(
+        s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
     out["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "text", "doc_id")
     out["text_quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "text", "doc_id")
     out["text_language_id"] = lambda s, d: textstats.language_id(_docs(s, d), "text", "doc_id")
@@ -219,6 +265,11 @@ def oracle_sql() -> dict[str, str]:
                                            not_terms=["row"])
     # code-analyzer BM25: independent pure-Python golden (VALUES literal)
     out["bm25_code_analyzer"] = oracle.bm25_code_topk_sql("hash join", k=10, mode="AND")
+    from content_rw_elasticsearch_spark.operators.fields import fielded_bm25_sql
+    out["bm25_field_title"] = fielded_bm25_sql(
+        FIELD_EXPRS_SQL, "hash join", field="title", k=10, mode="AND")
+    out["bm25_field_body"] = fielded_bm25_sql(
+        FIELD_EXPRS_SQL, "hash join", field="body", k=10, mode="AND")
     out["phrase_two"] = oracle.phrase_match_sql("hash join")
     out["phrase_three"] = oracle.phrase_match_sql("customer data group")
     out["index_term_postings"] = oracle.term_postings_sql("dup")
@@ -229,6 +280,9 @@ def oracle_sql() -> dict[str, str]:
     out["etl_routing_counts"] = oracle.routing_counts_sql()
     out["etl_people_buckets"] = oracle.annotation_buckets_sql("PERSON", "cmr_people")
     out["etl_topic_buckets"] = oracle.annotation_buckets_sql("TOPIC", "cmr_topics")
+    out["etl_company_buckets"] = oracle.annotation_buckets_sql(
+        "COMPANY", "cmr_companynames")
+    out["etl_full_document"] = oracle.full_document_sql()
     out["etl_primary_theme"] = oracle.primary_theme_sql()
     out["etl_sections"] = oracle.sections_sql()
     out["etl_authors"] = oracle.authors_sql()
@@ -251,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
     out["sim_ann_lsh_topk"] = similarity.ann_lsh_topk_sql(64, ANN_QUERY_IDS, k=5)
     out["sim_ann_multiprobe_topk"] = similarity.ann_multiprobe_topk_sql(
         64, ANN_QUERY_IDS, k=5)
+    out["sim_ann_multitable_topk"] = similarity.ann_multitable_topk_sql(
+        EMBEDDING_DIM, ANN_QUERY_IDS, k=5)
     out["text_token_counts"] = textstats.token_counts_sql()
     out["text_quality_scores"] = textstats.quality_scores_sql()
     out["text_language_id"] = textstats.language_id_sql()

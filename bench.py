@@ -41,7 +41,15 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
     # (concurrent reducers share the heap), which silently taxes the
     # high-parallelism leg of the scaling measurement. ~2M rows per
     # partition keeps the agg in memory at any leg.
-    n_hint = synth_docs or 100_000
+    if synth_docs:
+        n_hint = synth_docs
+    else:
+        # footer-only row count (no Spark job, no full scan) so the
+        # data-sized rule holds for ANY sf dir, not just the 100k default
+        import duckdb
+        n_hint = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
     shuffle_parts = max(cpus * 4, n_hint // 25_000)
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=shuffle_parts
@@ -114,6 +122,38 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
             phrase_times[phrase.replace(" ", "_")] = round(time.time() - t, 4)
         shutil.rmtree(pos_dir, ignore_errors=True)
 
+    # incremental ingest + fold latency (sf mode only): three 500-doc
+    # upsert batches (delta generations) against the live index, then the
+    # compaction, then one post-fold query as a sanity re-warm. Measures
+    # the apply_upserts delta-generation overhead SCALE.md argues about.
+    ingest_times: list[float] = []
+    fold_sec = None
+    if not synth_docs:
+        from pyspark.sql import functions as F
+
+        from content_rw_elasticsearch_spark.streaming.ingest import (
+            apply_upserts,
+            fold_deltas,
+        )
+
+        for b in range(3):
+            updates = (
+                corpus.filter(F.col("doc_id") % 7 == b)
+                .limit(500)
+                .withColumn(
+                    text_col,
+                    F.concat(F.col(text_col), F.lit(f" benchupdate{b}")),
+                )
+            )
+            t = time.time()
+            apply_upserts(spark, out_dir, updates, text_col=text_col)
+            ingest_times.append(round(time.time() - t, 4))
+        t = time.time()
+        fold_deltas(spark, out_dir)
+        fold_sec = round(time.time() - t, 4)
+        idx = SegmentIndex.load(spark, out_dir)
+        idx.search(hot, k=10).collect()
+
     total = round(build_sec + sum(qtimes.values()), 4)
     result = {
         "metric": "segment_index_build_plus_reference_queries",
@@ -132,6 +172,8 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
             sorted(qtimes_pruned.values())[len(qtimes_pruned) // 2], 4
         ),
         "build_metrics": manifest.get("build_metrics", {}),
+        "ingest_batch_secs": ingest_times,
+        "fold_sec": fold_sec,
     }
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -103,7 +105,7 @@ def lsh_candidate_pairs(
     """Band the signatures and bucket-join: pairs sharing ≥1 band bucket.
     band_key = xxhash64(band_idx, slice of sig) — uniform shuffle key."""
     r = k // bands
-    band_rows = df_bands = sig.select(
+    band_rows = sig.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -260,15 +262,20 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Caveat: all zero-token documents fingerprint to 0 and therefore pair
-    with each other at Hamming 0 — pre-filter empty docs upstream if that
-    is noise for your pipeline.
+    Zero-token documents are EXCLUDED inside the operator (they would all
+    fingerprint to 0 and pair with each other at Hamming 0 — pure noise,
+    and the former docstring caveat pushed the filter onto every caller).
 
     Banding:
     split the 64-bit fingerprint into 4 × 16-bit chunks — any pair within
     Hamming ≤ 3 shares at least one exact chunk (pigeonhole), so the
     bucket-join on chunks has full recall; verify with bit_count(xor)."""
-    fp = simhash_fingerprints(df, text_col, doc_col)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    fp = simhash_fingerprints(
+        df.filter(F.size(toks) > 0), text_col, doc_col
+    )
     chunks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[
@@ -295,15 +302,30 @@ def simhash_pairs(
 DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
 _M64 = (1 << 64) - 1
 
+# the plan splits with Spark's split('\\s+') — a JAVA regex, where \s is
+# the ASCII class [ \t\n\x0B\f\r] (no Unicode whitespace). The replay must
+# tokenize identically or documents containing  / /... would
+# fingerprint differently plan-vs-oracle (parity pinned by
+# tests/test_pipeline_ops.py::test_simhash_unicode_whitespace_parity).
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def simhash_tokens_py(text: str) -> list[str]:
+    """The replay-side tokenizer: lowercase, split on JAVA ``\\s`` (ASCII
+    whitespace only), drop empties — bit-for-bit what the Spark plan's
+    ``split(lower(text), '\\s+')`` produces."""
+    return [t for t in _JAVA_WS.split(text.lower()) if t]
+
 
 def simhash64_py(text: str) -> int:
     """Independent driver-side replay of simhash_fingerprints for one doc:
-    whitespace-split lowercase tokens, xxh64 token hashes (the pure-Python
-    XXH64 from functions/hashing.py, itself parity-pinned against Spark's
-    JVM expression by tests/test_hashing.py), ±1 bit votes, positive-vote
-    bits set. Signed-long output like the Spark plan."""
+    ASCII-whitespace-split lowercase tokens (simhash_tokens_py), xxh64
+    token hashes (the pure-Python XXH64 from functions/hashing.py, itself
+    parity-pinned against Spark's JVM expression by tests/test_hashing.py),
+    ±1 bit votes, positive-vote bits set. Signed-long output like the
+    Spark plan."""
     votes = [0] * 64
-    for tok in text.lower().split():
+    for tok in simhash_tokens_py(text):
         h = xxh64_string(tok) & _M64
         for j in range(64):
             votes[j] += 1 if (h >> j) & 1 else -1
@@ -331,7 +353,9 @@ def simhash_pairs_sql(max_hamming: int = 3, sf_dir: str | None = None) -> str:
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
-    fps = [(int(d), simhash64_py(t or "")) for d, t in rows]
+    # zero-token docs are excluded, mirroring the operator's built-in filter
+    fps = [(int(d), simhash64_py(t or "")) for d, t in rows
+           if simhash_tokens_py(t or "")]
     pairs = []
     for i in range(len(fps)):
         d1, f1 = fps[i]

@@ -99,16 +99,26 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _dim_of(emb: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality without a Spark job when the caller knows
+    it (array<float> carries no length in the schema, so the only
+    alternative is a .first() probe — one whole extra job per plan)."""
+    if dim is not None:
+        return dim
+    return len(emb.select(vec_col).first()[0])
+
+
 def ann_lsh_topk(
     spark: SparkSession, emb: DataFrame, query_ids: list[int], k: int = 5,
     n_planes: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate NN: random-hyperplane LSH buckets; each query searches
     ONLY its own bucket (recall < 1 by design; precision exact). At scale
     the bucket column is a partition/cluster key, so a query touches one
-    partition instead of N."""
-    dim = len(emb.select(vec_col).first()[0])
+    partition instead of N. Pass ``dim`` to skip the schema probe job."""
+    dim = _dim_of(emb, vec_col, dim)
     planes = hyperplanes(dim, n_planes, seed)
     base = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
@@ -136,6 +146,7 @@ def ann_multiprobe_topk(
     spark: SparkSession, emb: DataFrame, query_ids: list[int], k: int = 5,
     n_planes: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe LSH ANN: each query searches its own bucket PLUS every
     bucket at Hamming distance 1 (flip one hyperplane bit) — recovers the
@@ -145,8 +156,8 @@ def ann_multiprobe_topk(
     fraction at scale, and the probe list is computed on the broadcast
     (query) side so the big table is still touched via its bucket
     partition key. Buckets partition the space, so probes are disjoint —
-    no dedupe stage."""
-    dim = len(emb.select(vec_col).first()[0])
+    no dedupe stage. Pass ``dim`` to skip the schema probe job."""
+    dim = _dim_of(emb, vec_col, dim)
     planes = hyperplanes(dim, n_planes, seed)
     base = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
@@ -176,6 +187,106 @@ def ann_multiprobe_topk(
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_multitable_topk(
+    spark: SparkSession, emb: DataFrame, query_ids: list[int], k: int = 5,
+    n_planes: int = 8, n_tables: int = 3, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-TABLE LSH ANN — the classic complement to multi-probe: L
+    independent hyperplane sets (seeds seed, seed+1, ...), each vector
+    hashes to one bucket PER TABLE, and a query probes exactly its own
+    bucket in every table. A true neighbor is missed only if it straddles
+    ≥1 plane in EVERY table — P(miss) = (1 - p^b)^L instead of (1 - p^b),
+    at probed volume ≈ L/2^n_planes of N (vs (n_planes+1)/2^n_planes for
+    Hamming-1 multi-probe at the same n_planes).
+
+    Physical shape: the table dimension is unrolled on BOTH sides as an
+    explode — at rest this IS the L-table index layout ((table, bucket) is
+    the partition key, the base data is stored once per table, exactly how
+    FAISS/Annoy-style LSH forests shard). Tables can overlap on a
+    candidate, so the scored projection is deduped with a distinct on
+    (query_id, neighbor_id, cos) — cos is a pure function of the pair, so
+    distinct ≡ dedupe-by-pair — before the per-query top-k window."""
+    dim = _dim_of(emb, vec_col, dim)
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    bucketed = base.select(
+        "neighbor_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _bucket_expr(F.col("v"), planes).alias("bucket"))
+            for t, planes in enumerate(tables)
+        ])).alias("tb"),
+    ).select("neighbor_id", "v", "tb.tbl", "tb.bucket")
+    q = bucketed.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("tbl").alias("qtbl"), F.col("bucket").alias("qbucket"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, ROUND).alias("cos"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_multitable_topk_sql(
+    dim: int, query_ids: list[int], k: int = 5, n_planes: int = 8,
+    n_tables: int = 3, seed: int = 42,
+) -> str:
+    """Oracle replay of ann_multitable_topk (identical literal plane sets
+    per table; distinct on the scored pair before the top-k window)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        bucket_terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, v, {t} AS tbl, {bucket_terms} AS bucket FROM base"
+        )
+    union = "\n  UNION ALL\n  ".join(per_table)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+  {union}
+),
+q AS (SELECT vec_id AS query_id, v AS qv, tbl AS qtbl, bucket AS qbucket
+      FROM bucketed WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+               {ROUND}) AS cos
+  FROM bucketed b JOIN q ON b.tbl = q.qtbl AND b.bucket = q.qbucket
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def ann_multiprobe_topk_sql(

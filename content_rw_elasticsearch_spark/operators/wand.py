@@ -178,8 +178,13 @@ class SegmentIndex:
         fs = storage.fs_for(path, spark)
         # heal a docs-table swap the ingest crashed in the middle of (the
         # base segment/stats dirs are never swapped — fold/merge commit a
-        # new VERSIONED dir through index.json instead)
-        storage.restore_swap(fs, pjoin(path, "docs"))
+        # new VERSIONED dir through index.json instead). Only attempt the
+        # heal — a WRITE — when the live dir is actually missing, so a
+        # healthy committed index opens fine from a read-only mount; a
+        # stale .bak next to a live dir is left for the next swap's cleanup
+        docs_dir = pjoin(path, "docs")
+        if not fs.exists(docs_dir):
+            storage.restore_swap(fs, docs_dir)
         m = storage.read_json(fs, pjoin(path, "index.json"))
         # delta generations folded into the base are ignored even if their
         # manifests still exist (fold GC is best-effort after its commit)

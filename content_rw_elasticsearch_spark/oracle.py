@@ -161,7 +161,8 @@ from .plans.index_model import (  # noqa: E402  (shared constants — no drift)
     SECTION_PREDICATES,
     SKIP_PREDICATES,
     THEME_TAXONOMY_BY_TYPE,
-    _CONCEPT_TYPES6,
+    TAXONOMY_FIELDS,
+    _CONCEPT_TYPES,
     _PREDICATES10,
 )
 
@@ -255,8 +256,8 @@ ann AS (
          'P-' || cid AS pref_label,
          list_extract({_strs(_PREDICATES10)},
                       CAST((doc_id + 5*pos) % 10 + 1 AS INT)) AS predicate,
-         list_extract({_strs(_CONCEPT_TYPES6)},
-                      CAST((doc_id * pos) % 6 + 1 AS INT)) AS concept_type,
+         list_extract({_strs(_CONCEPT_TYPES)},
+                      CAST((doc_id * pos) % {len(_CONCEPT_TYPES)} + 1 AS INT)) AS concept_type,
          list_concat([cid], tme_ids) AS ann_ids
   FROM ann0
 )
@@ -556,6 +557,186 @@ LEFT JOIN ppl_ids USING (uuid)
 LEFT JOIN auth USING (uuid)
 LEFT JOIN auth_ids USING (uuid)
 ORDER BY uuid
+"""
+
+
+def _bucket_pair_ctes(ct: str, label_col: str, ids_col: str) -> str:
+    """Label + ids bucket CTEs for one taxonomy branch (appendIfNotExists /
+    prepareElasticField replay — same shape as annotation_buckets_sql and
+    the sections_sql ids chain)."""
+    return f"""
+t_{label_col} AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS {label_col}
+  FROM (SELECT uuid, pref_label AS e, min(ann_pos) AS o
+        FROM flt WHERE concept_type = '{ct}' GROUP BY uuid, pref_label)
+  GROUP BY uuid
+),
+t_{ids_col} AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS {ids_col}
+  FROM (SELECT uuid, id AS e, min(o) AS o
+        FROM (SELECT uuid, ann_pos * 100 + i AS o, id
+              FROM (SELECT uuid, ann_pos, unnest(ann_ids) AS id,
+                           unnest(range(len(ann_ids))) AS i
+                    FROM flt WHERE concept_type = '{ct}'))
+        GROUP BY uuid, id)
+  GROUP BY uuid
+)"""
+
+
+def full_document_sql(index_date: str = "2026-01-01T00:00:00.000Z") -> str:
+    """Oracle for the assembled IndexModel document
+    (plans/index_model.full_index_model): the scalar projection CTE joined
+    with every bucket CTE, primary theme and primary section, on uuid."""
+    from .plans.index_model import TAXONOMY_FIELDS as TF
+
+    img = IMAGE_SERVICE_URL
+    sfx_sec = B64_TAXONOMY["Sections"]
+    psfx, asfx = B64_TAXONOMY["PN"], B64_TAXONOMY["Authors"]
+    tax_whens = " ".join(
+        f"WHEN '{ct}' THEN '{B64_TAXONOMY[tax]}'"
+        for ct, tax in THEME_TAXONOMY_BY_TYPE.items()
+    )
+    sec_preds = _in(SECTION_PREDICATES + [PRIMARY_SECTION_PREDICATE])
+    bucket_ctes = ",".join(
+        _bucket_pair_ctes(ct, lc, ic) for ct, (lc, ic) in TF.items()
+    )
+    bucket_cols = [c for pair in TF.values() for c in pair]
+    all_buckets = bucket_cols + [
+        "cmr_people", "cmr_people_ids", "cmr_authors", "cmr_authors_ids",
+        "cmr_sections", "cmr_sections_ids",
+    ]
+    joins = "\n".join(
+        f"LEFT JOIN t_{c} ON t_{c}.uuid = base.uid" for c in all_buckets
+    )
+    sel_buckets = ",\n       ".join(
+        f"coalesce(t_{c}.{c}, '') AS {c}" for c in all_buckets
+    )
+    return f"""
+WITH {ANN_CTE}, {_gated_cte()},
+base AS (
+  SELECT uuid AS uid,
+         {_es_meta_case(0)} AS collection,
+         content_type,
+         content_type AS internal_content_type,
+         {_es_meta_case(2)} AS category,
+         {_es_meta_case(1)} AS format,
+         {_title_chain_sql('title')} AS lead_headline,
+         {_title_chain_sql('byline')} AS byline,
+         CASE WHEN body2 <> '' THEN {_html_chain_sql('body2')}
+              ELSE description END AS body,
+         scoop, can_be_syndicated, can_be_distributed,
+         nullif(published_date, '') AS last_publish,
+         nullif(first_published_date, '') AS initial_publish,
+         standfirst AS short_description,
+         CASE WHEN content_type <> 'blog' AND main_image <> ''
+              THEN replace('{img}', '{IMAGE_PLACEHOLDER}',
+                           string_split(main_image, '/')[-1]) END AS thumbnail_url,
+         CAST(coalesce(
+              CASE WHEN content_type = 'video'
+                   THEN list_filter(data_sources,
+                                    x -> starts_with(x.media_type, 'video'))[1].duration
+                   WHEN content_type = 'audio' THEN data_sources[1].duration
+                   END, 0) AS INT) AS length_millis,
+         'https://www.ft.com/content/' || uuid AS url,
+         'https://api.ft.com/content/' || uuid AS model_api_url,
+         tid AS publish_reference,
+         '{index_date}' AS index_date,
+         FALSE AS mark_deleted, FALSE AS best_story, FALSE AS lookup_failure,
+         CAST(NULL AS INT) AS story_id, CAST(NULL AS INT) AS storymodel_id
+  FROM g
+  WHERE NOT marked_deleted AND uuid <> '' AND content_type <> ''
+),
+flt AS (SELECT * FROM ann WHERE predicate NOT IN {_in(SKIP_PREDICATES)}),
+{bucket_ctes},
+per AS (
+  SELECT *,
+         list_filter(ann_ids, x -> ends_with(x, '{asfx}'))[1] AS author_id,
+         len(list_filter(ann_ids, x -> ends_with(x, '{psfx}'))) > 0 AS person_found
+  FROM flt WHERE concept_type = 'PERSON'
+),
+ppl_rows AS (SELECT * FROM per WHERE person_found OR author_id IS NULL),
+t_cmr_people AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_people
+  FROM (SELECT uuid, pref_label AS e, min(ann_pos) AS o
+        FROM ppl_rows GROUP BY uuid, pref_label)
+  GROUP BY uuid
+),
+t_cmr_people_ids AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_people_ids
+  FROM (SELECT uuid, id AS e, min(o) AS o
+        FROM (SELECT uuid, ann_pos * 100 + i AS o, id
+              FROM (SELECT uuid, ann_pos, unnest(ann_ids) AS id,
+                           unnest(range(len(ann_ids))) AS i
+                    FROM ppl_rows))
+        GROUP BY uuid, id)
+  GROUP BY uuid
+),
+auth_rows AS (
+  SELECT * FROM per
+  WHERE predicate IN {_in(AUTHOR_PREDICATES)} AND author_id IS NOT NULL
+),
+t_cmr_authors AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_authors
+  FROM (SELECT uuid, pref_label AS e, min(ann_pos) AS o
+        FROM auth_rows GROUP BY uuid, pref_label)
+  GROUP BY uuid
+),
+t_cmr_authors_ids AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_authors_ids
+  FROM (SELECT uuid, id AS e, min(o) AS o
+        FROM (SELECT uuid, ann_pos * 10 + i AS o, id
+              FROM (SELECT uuid, ann_pos,
+                           unnest([author_id, concept_id]) AS id,
+                           unnest([0, 1]) AS i
+                    FROM auth_rows))
+        GROUP BY uuid, id)
+  GROUP BY uuid
+),
+sec AS (SELECT * FROM flt WHERE predicate IN {sec_preds}),
+t_cmr_sections AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_sections
+  FROM (SELECT uuid, pref_label AS e, min(ann_pos) AS o
+        FROM sec GROUP BY uuid, pref_label)
+  GROUP BY uuid
+),
+t_cmr_sections_ids AS (
+  SELECT uuid, array_to_string(list(e ORDER BY o, e), '|') AS cmr_sections_ids
+  FROM (SELECT uuid, id AS e, min(o) AS o
+        FROM (SELECT uuid, ann_pos * 100 + i AS o, id
+              FROM (SELECT uuid, ann_pos, unnest(ann_ids) AS id,
+                           unnest(range(len(ann_ids))) AS i
+                    FROM sec))
+        GROUP BY uuid, id)
+  GROUP BY uuid
+),
+prim_theme AS (
+  SELECT uuid, pref_label AS cmr_primarytheme,
+         coalesce(list_filter(ann_ids, x -> ends_with(x, sfx))[1],
+                  ann_ids[2], ann_ids[1]) AS cmr_primarytheme_id
+  FROM (
+    SELECT *, CASE concept_type {tax_whens} END AS sfx
+    FROM flt
+    WHERE predicate = 'about'
+      AND concept_type IN {_in(list(THEME_TAXONOMY_BY_TYPE))}
+  )
+  QUALIFY row_number() OVER (PARTITION BY uuid ORDER BY ann_pos) = 1
+),
+prim_sec AS (
+  SELECT uuid, pref_label AS cmr_primarysection,
+         coalesce(list_filter(ann_ids, x -> ends_with(x, '{sfx_sec}'))[1],
+                  ann_ids[2], ann_ids[1]) AS cmr_primarysection_id
+  FROM sec WHERE predicate = '{PRIMARY_SECTION_PREDICATE}'
+  QUALIFY row_number() OVER (PARTITION BY uuid ORDER BY ann_pos DESC) = 1
+)
+SELECT base.*,
+       {sel_buckets},
+       prim_theme.cmr_primarytheme, prim_theme.cmr_primarytheme_id,
+       prim_sec.cmr_primarysection, prim_sec.cmr_primarysection_id
+FROM base
+{joins}
+LEFT JOIN prim_theme ON prim_theme.uuid = base.uid
+LEFT JOIN prim_sec ON prim_sec.uuid = base.uid
+ORDER BY uid
 """
 
 

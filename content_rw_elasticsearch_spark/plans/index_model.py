@@ -85,7 +85,23 @@ _PREDICATES10 = [
     "implicitlyAbout", "implicitlyClassifiedBy", "isPrimaryClassifiedBy",
     "hasAuthor", "hasContributor",
 ]
-_CONCEPT_TYPES6 = ["PERSON", "ORGANISATION", "LOCATION", "TOPIC", "GENRE", "BRAND"]
+# all seven mapper fan-in branches (mapper.go:92-148) — COMPANY included so
+# the companynames branch is oracle-gated through the driver, not just the
+# reference golden fixtures
+_CONCEPT_TYPES = ["PERSON", "ORGANISATION", "LOCATION", "TOPIC", "GENRE",
+                  "BRAND", "COMPANY"]
+# concept type → (labels field, ids field) in the assembled IndexModel
+# (schema.go:41-71 json names; GENRE serializes as cmr_genre/cmr_genre_id).
+# PERSON is absent: its people/authors buckets carry the author gating
+# (mapper.go:107-124) and are handled separately.
+TAXONOMY_FIELDS = {
+    "ORGANISATION": ("cmr_orgnames", "cmr_orgnames_ids"),
+    "COMPANY": ("cmr_companynames", "cmr_companynames_ids"),
+    "BRAND": ("cmr_brands", "cmr_brands_ids"),
+    "TOPIC": ("cmr_topics", "cmr_topics_ids"),
+    "LOCATION": ("cmr_regions", "cmr_regions_ids"),
+    "GENRE": ("cmr_genre", "cmr_genre_id"),
+}
 
 
 def enriched_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,8 +413,8 @@ def annotations_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("doc_id") + 5 * pos) % 10 + 1).cast("int"),
                 ).alias("predicate"),
                 F.try_element_at(
-                    F.array(*[F.lit(t) for t in _CONCEPT_TYPES6]),
-                    ((F.col("doc_id") * pos) % 6 + 1).cast("int"),
+                    F.array(*[F.lit(t) for t in _CONCEPT_TYPES]),
+                    ((F.col("doc_id") * pos) % len(_CONCEPT_TYPES) + 1).cast("int"),
                 ).alias("concept_type"),
                 tme.alias("tme_ids"),
             )
@@ -513,6 +529,18 @@ def section_accumulation(anns: DataFrame) -> DataFrame:
     ids = _first_seen_array(ids_exploded, F.col("id"),
                             F.col("ann_pos") * 100 + F.col("i"),
                             "cmr_sections_ids")
+    primary = primary_section(anns)
+    return (
+        labels.join(ids, "uuid")
+        .join(primary, "uuid", "left")
+        .orderBy("uuid")
+    )
+
+
+def primary_section(anns: DataFrame) -> DataFrame:
+    """E4 primary-section part of handleSectionMapping (mapper.go:285-289):
+    isPrimaryClassifiedBy assigns unconditionally, so the LAST annotation
+    wins; its id is getCmrIDWithFallback("Sections", ann_ids)."""
     sfx = B64_TAXONOMY["Sections"]
     fallback_id = F.coalesce(
         F.try_element_at(
@@ -522,8 +550,9 @@ def section_accumulation(anns: DataFrame) -> DataFrame:
         F.try_element_at("ann_ids", F.lit(1)),
     )
     w = Window.partitionBy("uuid").orderBy(F.desc("ann_pos"))
-    primary = (
-        secs.filter(F.col("predicate") == PRIMARY_SECTION_PREDICATE)
+    return (
+        filtered_annotations(anns)
+        .filter(F.col("predicate") == PRIMARY_SECTION_PREDICATE)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -531,11 +560,6 @@ def section_accumulation(anns: DataFrame) -> DataFrame:
             F.col("pref_label").alias("cmr_primarysection"),
             fallback_id.alias("cmr_primarysection_id"),
         )
-    )
-    return (
-        labels.join(ids, "uuid")
-        .join(primary, "uuid", "left")
-        .orderBy("uuid")
     )
 
 
@@ -656,6 +680,138 @@ def cmr_id_fallback(anns: DataFrame, taxonomy: str = "TOPIC") -> DataFrame:
         F.coalesce(F.try_element_at("ids", F.lit(2)), F.try_element_at("ids", F.lit(1)))
     )
     return ids.select("uuid", picked.alias("cmr_id")).orderBy("uuid")
+
+
+# every array bucket the assembled document carries ('|'-joined scalars)
+ALL_BUCKET_FIELDS = (
+    [c for pair in TAXONOMY_FIELDS.values() for c in pair]
+    + ["cmr_people", "cmr_people_ids", "cmr_authors", "cmr_authors_ids",
+       "cmr_sections", "cmr_sections_ids"]
+)
+
+_ENTRY_T = "array<struct<field:string,elem:string,ord:bigint>>"
+
+
+def all_annotation_buckets(anns: DataFrame) -> DataFrame:
+    """Every taxonomy/people/authors/sections bucket of the IndexModel in
+    ONE pass over the annotations (populateAnnotationRelatedFields,
+    mapper.go:92-148 + handleSectionMapping :272-284).
+
+    Instead of running the per-bucket plans (9 aggregations + a 10-way
+    join — 18+ shuffles), each annotation row emits its (field, elem, ord)
+    contributions as one flattened struct array; the stream then takes
+    min(ord) per (uuid, field, elem) [appendIfNotExists first-seen], joins
+    elements back into ordered '|'-strings per (uuid, field), and pivots
+    the fixed field list into one wide row per uuid. Three shuffles total
+    regardless of how many buckets the schema grows.
+
+    Semantics per branch are identical to taxonomy_buckets /
+    author_buckets / section_accumulation (pinned by
+    tests/test_index_model.py::test_one_pass_buckets_equal_per_bucket_plans):
+    ids order key = ann_pos*100 + index-within-ann_ids, authors
+    = ann_pos*10 + [authorID, canonicalID] (mapper.go:117-119), people
+    rows author-only-suppressed (:111-114)."""
+    person_sfx, author_sfx = B64_TAXONOMY["PN"], B64_TAXONOMY["Authors"]
+    rows = (
+        filtered_annotations(anns)
+        .withColumn("author_id", F.try_element_at(
+            F.filter(F.col("ann_ids"), lambda x: x.endswith(author_sfx)),
+            F.lit(1)))
+        .withColumn("person_found", F.exists(
+            F.col("ann_ids"), lambda x: x.endswith(person_sfx)))
+    )
+    empty = F.array().cast(_ENTRY_T)
+    pos = F.col("ann_pos").cast("long")
+
+    def entry(field: str, elem, ord_col) -> F.Column:
+        return F.struct(F.lit(field).alias("field"), elem.alias("elem"),
+                        ord_col.cast("long").alias("ord"))
+
+    def label_and_ids(cond, label_col: str, ids_col: str) -> list[F.Column]:
+        lab = F.when(cond, F.array(entry(label_col, F.col("pref_label"), pos))) \
+               .otherwise(empty)
+        ids = F.when(cond, F.transform(
+            F.col("ann_ids"),
+            lambda x, i: entry(ids_col, x, pos * 100 + i.cast("long")),
+        ).cast(_ENTRY_T)).otherwise(empty)
+        return [lab, ids]
+
+    branches: list[F.Column] = []
+    for ct, (label_col, ids_col) in TAXONOMY_FIELDS.items():
+        branches += label_and_ids(F.col("concept_type") == ct, label_col, ids_col)
+    people_cond = (F.col("concept_type") == "PERSON") & (
+        F.col("person_found") | F.col("author_id").isNull()
+    )
+    branches += label_and_ids(people_cond, "cmr_people", "cmr_people_ids")
+    author_cond = (
+        (F.col("concept_type") == "PERSON")
+        & F.col("predicate").isin(AUTHOR_PREDICATES)
+        & F.col("author_id").isNotNull()
+    )
+    branches.append(
+        F.when(author_cond, F.array(
+            entry("cmr_authors", F.col("pref_label"), pos),
+            entry("cmr_authors_ids", F.col("author_id"), pos * 10),
+            entry("cmr_authors_ids", F.col("concept_id"), pos * 10 + 1),
+        )).otherwise(empty)
+    )
+    branches += label_and_ids(
+        F.col("predicate").isin(SECTION_PREDICATES + [PRIMARY_SECTION_PREDICATE]),
+        "cmr_sections", "cmr_sections_ids",
+    )
+
+    entries = (
+        rows.select("uuid", F.explode(F.flatten(F.array(*branches))).alias("en"))
+        .select("uuid", "en.field", "en.elem", "en.ord")
+    )
+    ordered_join = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("o"), F.col("elem").alias("e")))),
+            lambda s: s["e"],
+        ),
+        "|",
+    )
+    per_field = (
+        entries.groupBy("uuid", "field", "elem")
+        .agg(F.min("ord").alias("o"))
+        .groupBy("uuid", "field")
+        .agg(ordered_join.alias("val"))
+    )
+    return per_field.groupBy("uuid").pivot("field", ALL_BUCKET_FIELDS).agg(
+        F.first("val")
+    )
+
+
+def full_index_model(enriched: DataFrame, anns: DataFrame,
+                     index_date: str = DEFAULT_INDEX_DATE) -> DataFrame:
+    """The COMPLETE assembled IndexModel document (schema.go:3-88): the
+    B1→B8 scalar projection (to_index_model) joined with every annotation
+    bucket, the primary theme (first `about` wins, mapper.go:293-301) and
+    the primary section (last isPrimaryClassifiedBy wins, :285-289) into
+    one wide row per written document — what ToIndexModel (mapper.go:54-90)
+    returns for one message, as one distributed plan for the whole corpus.
+
+    Bucket arrays are '|'-joined scalars coalesced to '' when the document
+    has no such annotations (Go's nil slice — the golden fixtures treat
+    absent and empty alike); primary theme/section stay NULL (pointer
+    fields). All four parts hash-partition on the document uuid, so the
+    assembly joins co-shuffle on one key; the bucket side is ONE pivoted
+    plan (see all_annotation_buckets), not a join per taxonomy."""
+    base = to_index_model(enriched, index_date)
+    buckets = all_annotation_buckets(anns).withColumnRenamed("uuid", "uid")
+    theme = primary_theme(anns).withColumnRenamed("uuid", "uid")
+    section = primary_section(anns).withColumnRenamed("uuid", "uid")
+    out = (
+        base.join(buckets, "uid", "left")
+        .join(theme, "uid", "left")
+        .join(section, "uid", "left")
+    )
+    return out.select(
+        *[c for c in base.columns],
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in ALL_BUCKET_FIELDS],
+        "cmr_primarytheme", "cmr_primarytheme_id",
+        "cmr_primarysection", "cmr_primarysection_id",
+    )
 
 
 def routing_counts(enriched: DataFrame) -> DataFrame:

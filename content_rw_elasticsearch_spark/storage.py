@@ -92,10 +92,24 @@ class HadoopFS:
     def __init__(self, spark, base_uri: str):
         jvm = spark._jvm
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
+        conf = spark._jsc.hadoopConfiguration()
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-            jvm.java.net.URI.create(base_uri), spark._jsc.hadoopConfiguration()
+            jvm.java.net.URI.create(base_uri), conf
         )
         self._Path = jvm.org.apache.hadoop.fs.Path
+        # FileContext gives rename(OVERWRITE) — FileSystem.rename returns
+        # FALSE when the destination exists on HDFS/S3A (POSIX overwrites),
+        # which would break every manifest UPDATE commit. Not every Hadoop
+        # filesystem implements AbstractFileSystem, so fall back lazily.
+        try:
+            self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                jvm.java.net.URI.create(base_uri), conf
+            )
+            self._Rename = jvm.org.apache.hadoop.fs.Options.Rename
+        except Exception:
+            self._fc = None
+            self._Rename = None
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._Path(path)))
@@ -109,7 +123,21 @@ class HadoopFS:
             self._fs.delete(p, True)
 
     def rename(self, src: str, dst: str) -> None:
-        if not self._fs.rename(self._Path(src), self._Path(dst)):
+        """Rename with OVERWRITE semantics (the ``os.replace`` analog —
+        manifest UPDATE commits re-point an existing index.json). Uses
+        FileContext.rename(..., Options.Rename.OVERWRITE) where available;
+        otherwise delete-then-rename (non-atomic: a crash between the two
+        leaves dst missing with the complete payload still in src/.tmp —
+        recovery is re-running the commit, never data loss)."""
+        if self._fc is not None:
+            opts = self._gateway.new_array(self._Rename, 1)
+            opts[0] = self._Rename.OVERWRITE
+            self._fc.rename(self._Path(src), self._Path(dst), opts)
+            return
+        p_dst = self._Path(dst)
+        if self._fs.exists(p_dst):
+            self._fs.delete(p_dst, True)
+        if not self._fs.rename(self._Path(src), p_dst):
             raise OSError(f"rename failed: {src} -> {dst}")
 
     def listdir(self, path: str) -> list[str]:
@@ -163,7 +191,16 @@ def swap_dir(fs: IndexFS, tmp: str, dst: str) -> None:
     """Crash-safe live-dir swap: old dir goes ASIDE first, then the new
     one in, then the aside copy is dropped. A crash at any point leaves
     either the old or the new dir recoverable (see restore_swap); the
-    committed manifest never points at nothing."""
+    committed manifest never points at nothing.
+
+    SCOPE: the crash-safety argument assumes directory rename is one
+    atomic step — true on POSIX and HDFS. On S3A a directory rename is a
+    per-object copy+delete, so a crash mid-rename can leave BOTH dst and
+    dst.bak partially populated; on such stores use the manifest-pointed
+    versioned-dir scheme instead (what fold/merge already do: write a new
+    generation dir, commit it with one write_json_atomic — no live-dir
+    swap at all). The docs-table swap in streaming/ingest.py is the only
+    remaining swap_dir caller."""
     bak = dst + ".bak"
     fs.rmtree(bak)
     if fs.exists(dst):
