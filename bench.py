@@ -51,12 +51,33 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
             f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
         ).fetchone()[0]
     shuffle_parts = max(cpus * 4, n_hint // 25_000)
+    # SPARK_GRAFT_LOCAL_CLUSTER=1: spawn N separate 1-core EXECUTOR JVMs
+    # (Spark's local-cluster mode) instead of N task threads in one JVM.
+    # This is the faithful stand-in for "N vs 4N executors": a real
+    # cluster scales JVM COUNT (per-JVM heap, GC, and python-worker pools
+    # stay constant), while local[N] multiplies task threads inside one
+    # shared heap — coupling the legs through allocation pressure that no
+    # multi-executor deployment has. Requires PYTHONPATH to carry the
+    # repo for executor-side python workers.
+    if os.environ.get("SPARK_GRAFT_LOCAL_CLUSTER"):
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+        master = f"local-cluster[{cpus},1,{mem_mb}]"
+    else:
+        master = f"local[{cpus}]"
     spark = get_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=shuffle_parts
+        app_name="bench", master=master, shuffle_partitions=shuffle_parts
     )
     spark.sparkContext.setLogLevel("ERROR")
     if synth_docs:
-        corpus = with_doc_id(synthesize_corpus(spark, synth_docs, seed=42))
+        # source partitions must be DATA-sized and identical across legs:
+        # synthesize_corpus defaults to defaultParallelism (= cores), which
+        # hands the low-parallelism leg multi-million-doc map tasks whose
+        # tokenize/explode/partial-agg state degrades superlinearly — a
+        # configuration penalty that masquerades as poor scaling. ~25k docs
+        # per task bounds map-side state the same way at every core count.
+        parts = max(cpus * 4, synth_docs // 25_000)
+        corpus = with_doc_id(synthesize_corpus(spark, synth_docs, seed=42,
+                                               parts=parts))
         corpus = corpus.select("doc_id", "content")
         text_col, label = "content", f"synthetic:{synth_docs}"
         n_docs = synth_docs
@@ -65,7 +86,11 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         text_col, label = "text", sf_dir
         n_docs = corpus.count()
 
-    out_dir = f"/tmp/spark_graft_bench_idx_{cpus}"
+    # SPARK_GRAFT_BENCH_DIR: relocate the index store (e.g. to /dev/shm)
+    # to take the store off the single shared virtual disk when measuring
+    # compute scaling — a real N->4N cluster scales disks with executors
+    out_base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp")
+    out_dir = f"{out_base}/spark_graft_bench_idx_{cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     manifest = build_segments(
@@ -73,6 +98,24 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         n_buckets=8, snapshot_id=label,
     )
     build_sec = time.time() - t0
+
+    # SPARK_GRAFT_SKIP_QUERIES=1: indexing-throughput-only mode for the
+    # executor-faithful (local-cluster) scaling legs — the query warm-up
+    # decodes the corpus's hottest term, which needs more heap than a
+    # 1-core executor gets; the scaling metric is docs/sec of the BUILD.
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        total = round(build_sec, 4)
+        result = {
+            "metric": "segment_index_build_only",
+            "value": total, "unit": "sec", "queries": {}, "sf": label,
+            "index_build_sec": round(build_sec, 4),
+            "docs_per_sec": round(n_docs / build_sec, 2),
+            "n_docs": n_docs, "cpus": cpus, "query_p50_sec": None,
+            "build_metrics": manifest.get("build_metrics", {}),
+        }
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return result
 
     idx = SegmentIndex.load(spark, out_dir)
     # warmup MUST touch real postings (python workers, parquet page cache,

@@ -63,7 +63,9 @@ def main() -> None:
         lows.append(run_one(low, n_docs))
         highs.append(run_one(high, n_docs))
         print(json.dumps({"leg_low": lows[-1]["index_build_sec"],
-                          "leg_high": highs[-1]["index_build_sec"]}),
+                          "leg_high": highs[-1]["index_build_sec"],
+                          "low_metrics": lows[-1].get("build_metrics", {}),
+                          "high_metrics": highs[-1].get("build_metrics", {})}),
               file=sys.stderr)
     r_low = max(lows, key=lambda r: r["docs_per_sec"])
     r_high = max(highs, key=lambda r: r["docs_per_sec"])
