@@ -1,0 +1,90 @@
+"""Attribute scaling loss from Spark event logs: per-task CPU vs wall.
+
+Reads every application event log in a directory (one per scaling leg),
+groups tasks by stage, and reports per-leg totals of:
+
+  run      sum of executorRunTime           (task wall on an executor)
+  cpu      sum of executorCpuTime           (actual CPU burned)
+  gc       sum of jvmGCTime
+  fetch    sum of shuffle fetch wait
+  write    sum of shuffle write time
+  deser/ser  task (de)serialization
+  sched    launch->finish minus runTime (scheduler+delivery delay)
+
+The smoking gun for in-box concurrency inflation: cpu(8-core leg) >>
+cpu(2-core leg) for the SAME work means each task burns more CPU at
+higher concurrency (cache/TLB pressure, python-worker contention);
+run >> cpu growth means tasks WAIT (I/O, locks, python IPC).
+
+Usage: python scripts/analyze_eventlog.py /tmp/evlog
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import defaultdict
+
+
+def analyze(path: str) -> dict:
+    agg: dict[str, float] = defaultdict(float)
+    n_tasks = 0
+    cores = None
+    app_end = app_start = None
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerApplicationStart":
+                app_start = ev.get("Timestamp")
+            elif e == "SparkListenerApplicationEnd":
+                app_end = ev.get("Timestamp")
+            elif e == "SparkListenerEnvironmentUpdate":
+                cores = ev.get("Spark Properties", {}).get("spark.master")
+            elif e == "SparkListenerTaskEnd":
+                m = ev.get("Task Metrics") or {}
+                info = ev.get("Task Info") or {}
+                if not m:
+                    continue
+                n_tasks += 1
+                agg["run_ms"] += m.get("Executor Run Time", 0)
+                agg["cpu_ms"] += m.get("Executor CPU Time", 0) / 1e6
+                agg["gc_ms"] += m.get("JVM GC Time", 0)
+                agg["deser_ms"] += m.get("Executor Deserialize Time", 0)
+                agg["ser_ms"] += m.get("Result Serialization Time", 0)
+                srm = m.get("Shuffle Read Metrics") or {}
+                agg["fetch_ms"] += srm.get("Fetch Wait Time", 0)
+                swm = m.get("Shuffle Write Metrics") or {}
+                agg["write_ms"] += swm.get("Shuffle Write Time", 0) / 1e6
+                task_wall = (info.get("Finish Time", 0) or 0) - (info.get("Launch Time", 0) or 0)
+                agg["wall_ms"] += max(task_wall, 0)
+    out = {k: round(v / 1000.0, 1) for k, v in agg.items()}
+    out["n_tasks"] = n_tasks
+    out["master"] = cores
+    if app_start and app_end:
+        out["app_wall_s"] = round((app_end - app_start) / 1000.0, 1)
+    out["sched_s"] = round(out.get("wall_ms", 0) - out.get("run_ms", 0)
+                           - out.get("deser_ms", 0) - out.get("ser_ms", 0), 1)
+    out["wait_s"] = round(out.get("run_ms", 0) - out.get("cpu_ms", 0)
+                          - out.get("gc_ms", 0), 1)
+    return out
+
+
+def main() -> None:
+    d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/evlog"
+    for name in sorted(os.listdir(d)):
+        p = os.path.join(d, name)
+        if not os.path.isfile(p):
+            continue
+        r = analyze(p)
+        keys = ("master", "app_wall_s", "n_tasks", "run_ms", "cpu_ms",
+                "gc_ms", "wait_s", "fetch_ms", "write_ms", "sched_s")
+        print(name[:40], json.dumps({k: r.get(k) for k in keys}))
+
+
+if __name__ == "__main__":
+    main()
