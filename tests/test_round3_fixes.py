@@ -112,3 +112,17 @@ def test_hadoopfs_rename_fallback_overwrites(spark, tmp_path):
     storage.write_json_atomic(fs, path, {"v": 1})
     storage.write_json_atomic(fs, path, {"v": 2})
     assert storage.read_json(fs, path) == {"v": 2}
+
+
+# --- WAND crossover auto-tune ---------------------------------------------
+
+def test_prune_crossover_derived_from_manifest(spark):
+    from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+    m = {"posting_count": 280_000_000, "build_metrics": {"stage2_secs": 100.0}}
+    c = SegmentIndex._derive_crossover(spark, m)
+    assert 100_000 <= c <= 10_000_000
+    # no metrics -> keep the static default
+    assert SegmentIndex._derive_crossover(spark, {}) is None
+    # tiny index -> clamps to the floor, so small corpora stay exhaustive
+    tiny = {"posting_count": 12_000, "build_metrics": {"stage2_secs": 2.0}}
+    assert SegmentIndex._derive_crossover(spark, tiny) == 100_000
