@@ -74,8 +74,58 @@ def analyze(path: str) -> dict:
     return out
 
 
+def per_stage(path: str) -> dict[int, dict]:
+    """Per-stage task sums: run/cpu seconds, span, task count, name."""
+    st: dict[int, dict] = defaultdict(
+        lambda: {"run": 0.0, "cpu": 0.0, "n": 0,
+                 "launch": None, "finish": None, "name": ""}
+    )
+    for line in open(path, errors="replace"):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerStageSubmitted":
+            si = ev["Stage Info"]
+            st[si["Stage ID"]]["name"] = (si.get("Stage Name") or "")[:45]
+        elif e == "SparkListenerTaskEnd":
+            s = st[ev["Stage ID"]]
+            m = ev.get("Task Metrics") or {}
+            info = ev.get("Task Info") or {}
+            s["run"] += (m.get("Executor Run Time") or 0) / 1000.0
+            s["cpu"] += (m.get("Executor CPU Time") or 0) / 1e9
+            s["n"] += 1
+            lt, ft = info.get("Launch Time"), info.get("Finish Time")
+            if lt:
+                s["launch"] = lt if s["launch"] is None else min(s["launch"], lt)
+            if ft:
+                s["finish"] = ft if s["finish"] is None else max(s["finish"], ft)
+    return st
+
+
+def compare_stages(path_a: str, path_b: str) -> None:
+    """CPU-inflation table between two legs of the same program (stage
+    ids line up because the job sequence is identical)."""
+    a, b = per_stage(path_a), per_stage(path_b)
+    print("sid  n    cpu_a    cpu_b  infl   span_a  span_b  name")
+    for sid in sorted(set(a) & set(b)):
+        sa, sb = a[sid], b[sid]
+        if sa["cpu"] < 3 or not sa["launch"] or not sb["launch"]:
+            continue
+        span_a = (sa["finish"] - sa["launch"]) / 1000.0
+        span_b = (sb["finish"] - sb["launch"]) / 1000.0
+        print(f"{sid:3d} {sa['n']:4d} {sa['cpu']:8.1f} {sb['cpu']:8.1f} "
+              f"{sb['cpu'] / sa['cpu']:5.2f} {span_a:8.1f} {span_b:7.1f}  "
+              f"{sa['name']}")
+
+
 def main() -> None:
-    d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/evlog"
+    args = [a for a in sys.argv[1:] if a != "--stages"]
+    if "--stages" in sys.argv and len(args) == 2:
+        compare_stages(args[0], args[1])
+        return
+    d = args[0] if args else "/tmp/evlog"
     for name in sorted(os.listdir(d)):
         p = os.path.join(d, name)
         if not os.path.isfile(p):
