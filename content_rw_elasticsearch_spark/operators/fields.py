@@ -155,6 +155,29 @@ class FieldedIndex:
                 pass
 
 
+# separator between field name and term in composite posting keys — the
+# segment store's at-rest encoding of field scoping (Lucene's terms dict
+# is per-field; a composite key gives the same partitioning for free)
+FIELD_SEP = "\x1f"
+
+
+def prefixed_field_tokenized(df: DataFrame, fields: dict[str, Column | str],
+                             doc_col: str = "doc_id",
+                             analyzer: str = "simple") -> DataFrame:
+    """(doc_id, field, tokens, doc_len) where every token is prefixed
+    ``field<FIELD_SEP>token`` — ready for the UNCHANGED postings/segment
+    machinery: the composite string IS the term, so tf/df aggregation,
+    bucket routing (xxhash64 of the term), block planning, and the WAND
+    metadata all become field-scoped without touching their code.
+    doc_len stays the FIELD's token count (per-field norms)."""
+    tok = field_tokenized(df, fields, doc_col, analyzer)
+    return tok.withColumn(
+        "tokens",
+        F.transform("tokens",
+                    lambda t: F.concat(F.col("field"), F.lit(FIELD_SEP), t)),
+    )
+
+
 # --- DuckDB oracle ---------------------------------------------------------
 
 def fielded_bm25_sql(field_exprs: dict[str, str], query: str, field: str,

@@ -258,9 +258,20 @@ def build_segments(
     snapshot_id: str = "",
     overwrite: bool = False,
     with_positions: bool = False,
+    fields: "dict | None" = None,
 ) -> dict:
     """Build (or resume) the segment index at ``out_dir``. Returns the
-    global manifest dict."""
+    global manifest dict.
+
+    ``fields`` (name -> Column/str) builds a FIELD-SCOPED index (the ES
+    schema's per-field analyzed indexes, referenceSchema.json:50-59):
+    tokens become composite ``field\x1fterm`` keys, doc_len is the
+    field's own token count, and the manifest carries per-field
+    docCount/avgdl (Lucene per-field norms). Everything downstream —
+    tf/df aggregation, bucket routing, block planning, WAND metadata,
+    codecs — is unchanged because the composite string IS the term.
+    Incremental ingest of fielded indexes is not yet supported
+    (streaming/ingest gates on the manifest)."""
     spark = corpus.sparkSession
     fs = storage.fs_for(out_dir, spark)
     if overwrite and fs.exists(out_dir):
@@ -284,7 +295,13 @@ def build_segments(
         # docs-from-staging-distinct variant was tried and measured WORSE
         # at low core counts: the distinct is a full-staging shuffle,
         # pricier than the persisted select.)
-        tok = P.tokenized(corpus, text_col, doc_col, analyzer).persist()
+        if fields:
+            from .fields import prefixed_field_tokenized
+
+            tok = prefixed_field_tokenized(corpus, fields, doc_col,
+                                           analyzer).persist()
+        else:
+            tok = P.tokenized(corpus, text_col, doc_col, analyzer).persist()
         post = (
             P.build_positional_postings(tok) if with_positions else P.build_postings(tok)
         ).withColumn(
@@ -322,7 +339,18 @@ def build_segments(
         def job_cstats():
             t = time.time()
             cs = P.corpus_stats(tok)
-            return cs, round(time.time() - t, 3)
+            fstats = None
+            if fields:
+                # per-field docCount/avgdl — the per-query scalar params
+                fstats = {
+                    r["field"]: {"n_docs": int(r["n"]),
+                                 "avgdl": float(r["avgdl"] or 0.0)}
+                    for r in tok.groupBy("field").agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.avg("doc_len").alias("avgdl"),
+                    ).collect()
+                }
+            return cs, fstats, round(time.time() - t, 3)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -332,7 +360,7 @@ def build_segments(
             f_cstats = pool.submit(job_cstats)
             timings["stats_write"] = f_stats.result()
             timings["docs_write"] = f_docs.result()
-            cs, timings["corpus_stats"] = f_cstats.result()
+            cs, field_stats, timings["corpus_stats"] = f_cstats.result()
         tok.unpersist()
         timings["secs"] = round(time.time() - t0, 3)
         storage.write_json_atomic(
@@ -347,6 +375,8 @@ def build_segments(
                 "target_block": target_block,
                 "analyzer": analyzer,
                 "positions": with_positions,
+                **({"field_stats": field_stats,
+                    "default_field": next(iter(fields))} if fields else {}),
                 "build_metrics": timings,
                 "committed": True,
             },
@@ -457,6 +487,9 @@ def build_segments(
         "target_block": stage1["target_block"],
         "posting_count": sum(m["posting_count"] for m in bucket_manifests),
         "block_count": sum(m["block_count"] for m in bucket_manifests),
+        **({"field_stats": stage1["field_stats"],
+            "default_field": stage1["default_field"]}
+           if stage1.get("field_stats") else {}),
         "committed": True,
     }
     storage.write_json_atomic(fs, index_manifest, manifest)
