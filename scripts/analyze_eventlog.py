@@ -62,15 +62,16 @@ def analyze(path: str) -> dict:
                 agg["write_ms"] += swm.get("Shuffle Write Time", 0) / 1e6
                 task_wall = (info.get("Finish Time", 0) or 0) - (info.get("Launch Time", 0) or 0)
                 agg["wall_ms"] += max(task_wall, 0)
-    out = {k: round(v / 1000.0, 1) for k, v in agg.items()}
+    # the raw metrics are milliseconds; report seconds with *_s keys
+    out = {k.replace("_ms", "_s"): round(v / 1000.0, 1) for k, v in agg.items()}
     out["n_tasks"] = n_tasks
     out["master"] = cores
     if app_start and app_end:
         out["app_wall_s"] = round((app_end - app_start) / 1000.0, 1)
-    out["sched_s"] = round(out.get("wall_ms", 0) - out.get("run_ms", 0)
-                           - out.get("deser_ms", 0) - out.get("ser_ms", 0), 1)
-    out["wait_s"] = round(out.get("run_ms", 0) - out.get("cpu_ms", 0)
-                          - out.get("gc_ms", 0), 1)
+    out["sched_s"] = round(out.get("wall_s", 0) - out.get("run_s", 0)
+                           - out.get("deser_s", 0) - out.get("ser_s", 0), 1)
+    out["wait_s"] = round(out.get("run_s", 0) - out.get("cpu_s", 0)
+                          - out.get("gc_s", 0), 1)
     return out
 
 
@@ -131,8 +132,8 @@ def main() -> None:
         if not os.path.isfile(p):
             continue
         r = analyze(p)
-        keys = ("master", "app_wall_s", "n_tasks", "run_ms", "cpu_ms",
-                "gc_ms", "wait_s", "fetch_ms", "write_ms", "sched_s")
+        keys = ("master", "app_wall_s", "n_tasks", "run_s", "cpu_s",
+                "gc_s", "wait_s", "fetch_s", "write_s", "sched_s")
         print(name[:40], json.dumps({k: r.get(k) for k in keys}))
 
 

@@ -67,6 +67,7 @@ def run_pair(low: int, high: int, n_docs: int) -> dict:
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
     )
     high_runs: list[dict] = []  # {"start","end","res"}
+    high_failures: list[str] = []  # stderr tails of failed high legs
     stop = threading.Event()
 
     def high_loop() -> None:
@@ -80,6 +81,8 @@ def run_pair(low: int, high: int, n_docs: int) -> dict:
             if out.returncode == 0:
                 res = json.loads(out.stdout.strip().splitlines()[-1])
                 high_runs.append({"start": s, "end": e, "res": res})
+            else:
+                high_failures.append((out.stderr or "")[-2000:])
 
     th = threading.Thread(target=high_loop, daemon=True)
     th.start()
@@ -89,11 +92,18 @@ def run_pair(low: int, high: int, n_docs: int) -> dict:
     th.join()  # let the in-flight high run finish (it will be discarded)
 
     low_res = json.loads(low_out.strip().splitlines()[-1])
+    if not high_runs:
+        # fail fast with the cause instead of a StatisticsError after the
+        # whole low leg has been paid for
+        raise RuntimeError(
+            "every high-leg run failed; last stderr tail:\n"
+            + (high_failures[-1] if high_failures else "<none captured>")
+        )
     contained = [h for h in high_runs if h["end"] <= low_end]
     if not contained:  # degenerate (low leg unexpectedly fast): keep first
         contained = high_runs[:1]
     med = statistics.median(h["res"]["index_build_sec"] for h in contained)
-    eff = low_res["index_build_sec"] / ((high // low) * med)
+    eff = low_res["index_build_sec"] / ((high / low) * med)
     return {
         "low_build_sec": low_res["index_build_sec"],
         "low_docs_per_sec": low_res["docs_per_sec"],
