@@ -101,6 +101,26 @@ def _segment_index_for(spark: SparkSession, sf_dir: str,
     return _SEG_CACHE[key]
 
 
+def _fielded_segment_index_for(spark: SparkSession, sf_dir: str) -> SegmentIndex:
+    """The AT-REST fielded index: build_segments(fields=...) writes
+    composite ``field\x1fterm`` postings + per-field manifest stats, and
+    SegmentIndex.search(field=...) queries the persisted store with that
+    field's own norms — the path a reference user's `title:X` takes
+    against the on-disk index (configs/referenceSchema.json:50-59)."""
+    key = (id(spark), sf_dir, "fielded")
+    if key not in _SEG_CACHE:
+        slug = sf_dir.strip("/").replace("/", "_")
+        out = f"/tmp/spark_graft_segidx_v{__version__}_fielded_{slug}"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_segments(
+            docs, out, doc_col="doc_id", analyzer="simple",
+            n_buckets=4, target_block=512, nb_max=64, snapshot_id=sf_dir,
+            fields=_field_exprs_spark(),
+        )
+        _SEG_CACHE[key] = SegmentIndex.load(spark, out)
+    return _SEG_CACHE[key]
+
+
 def _wand_query(name: str, prune: bool, spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = REFERENCE_QUERIES[name]
     seg = _segment_index_for(spark, sf_dir)
@@ -144,9 +164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in REFERENCE_QUERIES:
         out[f"bm25_{name}"] = functools.partial(_bm25_query, name)
     # compressed segment store + block-max WAND path (oracle: the same
-    # BM25 SQL — the physical path must be rank-identical to the logical)
-    for name in ("and_two", "single_hot", "or_three", "and_allhot"):
+    # BM25 SQL — the physical path must be rank-identical to the logical).
+    # The pruned (wand_) plan keeps all four shapes; the exhaustive
+    # (segment_) plan keeps one AND + one OR — consolidation that holds
+    # every query inside the driver's 50-query correctness cap (r3 let 5
+    # operators rotate out of the checked set).
+    for name in ("and_two", "or_three"):
         out[f"segment_{name}"] = functools.partial(_wand_query, name, False)
+    for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
     # NOT semantics (§2.G): AND query minus docs containing excluded terms
     def _bm25_not(spark, sf_dir):
@@ -176,11 +201,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash join", field="title", k=10, mode="AND")
     out["bm25_field_body"] = lambda s, d: _fielded_index_for(s, d).search(
         "hash join", field="body", k=10, mode="AND")
-    out["phrase_two"] = functools.partial(_phrase_query, "hash join")
-    out["phrase_three"] = functools.partial(_phrase_query, "customer data group")
+    # the PERSISTED fielded index (composite field\x1fterm segment store,
+    # per-field manifest norms) — same oracle as the in-memory fielded
+    # path: at-rest field scoping must be rank-identical to the logical
+    out["segment_field_title"] = lambda s, d: _fielded_segment_index_for(
+        s, d).search("hash join", field="title", k=10, mode="AND")
+    out["segment_field_body"] = lambda s, d: _fielded_segment_index_for(
+        s, d).search("hash join", field="body", k=10, mode="AND")
+
+    # both phrase shapes in one gated query (see the 50-query cap note)
+    def _phrase_matches(spark, sf_dir):
+        from pyspark.sql import functions as F
+        a = _phrase_query("hash join", spark, sf_dir).withColumn(
+            "phrase", F.lit("hash join"))
+        b = _phrase_query("customer data group", spark, sf_dir).withColumn(
+            "phrase", F.lit("customer data group"))
+        return a.unionByName(b)
+
+    out["phrase_matches"] = _phrase_matches
     out["index_term_postings"] = _term_postings
-    out["index_term_stats"] = _term_stats
-    out["index_corpus_stats"] = _corpus_stats
+
+    # per-term df + global n_docs/avgdl in one gated query (50-query cap)
+    def _index_stats(spark, sf_dir):
+        return _term_stats(spark, sf_dir).crossJoin(
+            _corpus_stats(spark, sf_dir))
+
+    out["index_stats"] = _index_stats
     # IndexModel ETL (reference pkg/mapper + pkg/message parity, SURVEY §2.B/C/E)
     out["etl_index_model"] = lambda s, d: IM.to_index_model(
         IM.enriched_from_documents(s, d)).orderBy("uid")
@@ -241,10 +287,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
     out["sim_ann_multitable_topk"] = lambda s, d: similarity.ann_multitable_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
-    out["text_token_counts"] = lambda s, d: textstats.token_counts(_docs(s, d), "text", "doc_id")
-    out["text_quality_scores"] = lambda s, d: textstats.quality_scores(_docs(s, d), "text", "doc_id")
-    out["text_language_id"] = lambda s, d: textstats.language_id(_docs(s, d), "text", "doc_id")
-    out["text_fingerprints"] = lambda s, d: textstats.fingerprints(_docs(s, d), "text", "doc_id")
+    # all four text-analysis operators in one doc_id-joined gated query
+    # (50-query cap): each operator's columns are disjoint, so the value
+    # hash still gates every one of them individually
+    def _text_profile(s, d):
+        docs = _docs(s, d)
+        return (
+            textstats.token_counts(docs, "text", "doc_id")
+            .join(textstats.quality_scores(docs, "text", "doc_id"), "doc_id")
+            .join(textstats.language_id(docs, "text", "doc_id"), "doc_id")
+            .join(textstats.fingerprints(docs, "text", "doc_id"), "doc_id")
+        )
+
+    out["text_profile"] = _text_profile
     out["multimodal_metadata"] = lambda s, d: multimodal.media_metadata(
         multimodal.media_from_documents(_docs(s, d)))
     return out
@@ -259,7 +314,8 @@ def oracle_sql() -> dict[str, str]:
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         spec = REFERENCE_QUERIES[name]
         sql = oracle.bm25_topk_sql(spec["query"], k=spec["k"], mode=spec["mode"])
-        out[f"segment_{name}"] = sql
+        if name in ("and_two", "or_three"):
+            out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
     out["bm25_not"] = oracle.bm25_topk_sql("hash join", k=10, mode="AND",
                                            not_terms=["row"])
@@ -270,11 +326,22 @@ def oracle_sql() -> dict[str, str]:
         FIELD_EXPRS_SQL, "hash join", field="title", k=10, mode="AND")
     out["bm25_field_body"] = fielded_bm25_sql(
         FIELD_EXPRS_SQL, "hash join", field="body", k=10, mode="AND")
-    out["phrase_two"] = oracle.phrase_match_sql("hash join")
-    out["phrase_three"] = oracle.phrase_match_sql("customer data group")
+    # at-rest fielded path: SAME oracle — persisted field scoping must be
+    # rank-identical to the logical fielded plan
+    out["segment_field_title"] = out["bm25_field_title"]
+    out["segment_field_body"] = out["bm25_field_body"]
+    out["phrase_matches"] = (
+        "SELECT *, 'hash join' AS phrase FROM ("
+        + oracle.phrase_match_sql("hash join")
+        + ") UNION ALL SELECT *, 'customer data group' AS phrase FROM ("
+        + oracle.phrase_match_sql("customer data group") + ")"
+    )
     out["index_term_postings"] = oracle.term_postings_sql("dup")
-    out["index_term_stats"] = oracle.term_stats_sql()
-    out["index_corpus_stats"] = oracle.corpus_stats_sql()
+    out["index_stats"] = (
+        "SELECT t.term, t.df, c.n_docs, c.avgdl FROM ("
+        + oracle.term_stats_sql() + ") t CROSS JOIN ("
+        + oracle.corpus_stats_sql() + ") c"
+    )
     out["etl_index_model"] = oracle.index_model_sql()
     out["etl_delete_set"] = oracle.delete_set_sql()
     out["etl_routing_counts"] = oracle.routing_counts_sql()
@@ -307,9 +374,11 @@ def oracle_sql() -> dict[str, str]:
         64, ANN_QUERY_IDS, k=5)
     out["sim_ann_multitable_topk"] = similarity.ann_multitable_topk_sql(
         EMBEDDING_DIM, ANN_QUERY_IDS, k=5)
-    out["text_token_counts"] = textstats.token_counts_sql()
-    out["text_quality_scores"] = textstats.quality_scores_sql()
-    out["text_language_id"] = textstats.language_id_sql()
-    out["text_fingerprints"] = textstats.fingerprints_sql()
+    out["text_profile"] = (
+        "SELECT * FROM (" + textstats.token_counts_sql() + ") a JOIN ("
+        + textstats.quality_scores_sql() + ") b USING (doc_id) JOIN ("
+        + textstats.language_id_sql() + ") c USING (doc_id) JOIN ("
+        + textstats.fingerprints_sql() + ") d USING (doc_id)"
+    )
     out["multimodal_metadata"] = multimodal.media_metadata_sql()
     return out

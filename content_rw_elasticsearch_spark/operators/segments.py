@@ -270,8 +270,9 @@ def build_segments(
     docCount/avgdl (Lucene per-field norms). Everything downstream —
     tf/df aggregation, bucket routing, block planning, WAND metadata,
     codecs — is unchanged because the composite string IS the term.
-    Incremental ingest of fielded indexes is not yet supported
-    (streaming/ingest gates on the manifest)."""
+    Query with SegmentIndex.search(field=...); incremental ingest needs
+    the same ``fields`` mapping (apply_upserts validates the names
+    against the manifest and refuses unprefixed batches)."""
     spark = corpus.sparkSession
     fs = storage.fs_for(out_dir, spark)
     if overwrite and fs.exists(out_dir):
@@ -328,8 +329,11 @@ def build_segments(
 
         def job_docs() -> float:
             t = time.time()
-            # docs table: exact N/avgdl bookkeeping, updated by deltas (gen 0)
-            tok.select("doc_id", "doc_len").withColumn(
+            # docs table: exact N/avgdl bookkeeping, updated by deltas
+            # (gen 0). Fielded builds keep the field column — one row per
+            # (doc, field) — so ingest can maintain PER-FIELD stats.
+            cols = ["doc_id"] + (["field"] if fields else []) + ["doc_len"]
+            tok.select(*cols).withColumn(
                 "gen", F.lit(0)
             ).withColumn("deleted", F.lit(False)).write.mode("overwrite").parquet(
                 pjoin(out_dir, "docs")

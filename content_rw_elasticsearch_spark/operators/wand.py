@@ -62,7 +62,15 @@ from ..functions.hashing import pmod, xxh64_string
 from ..storage import join as pjoin
 from . import codec
 from .bm25 import ROUND_DECIMALS, bm25_partial_col
+from .fields import FIELD_SEP
 from .segments import SEGMENT_READ_SCHEMA
+
+# trivial-job latency per SparkSession (the T_job term of the prune
+# crossover): measured ONCE per session — warmup job first, then the
+# median of three — so index loads are deterministic within a session and
+# never pay the first-job codegen/scheduler warmup as if it were steady-
+# state job latency (ADVICE r3)
+_TJOB_CACHE: dict[int, float] = {}
 
 _DECODED_SCHEMA = StructType(
     [
@@ -166,6 +174,11 @@ class SegmentIndex:
     # commit it with ONE index.json write (no live-dir swap window)
     seg_dir: str = "segments"
     stats_file: str = "stats.parquet"
+    # fielded index (build_segments(fields=...)): per-field docCount/avgdl
+    # (Lucene per-field norms) and the field used when a query names none.
+    # Posting keys on disk are composite ``field\x1fterm`` strings.
+    field_stats: dict | None = None
+    default_field: str | None = None
     # below this many candidate postings the two-phase pruned plan costs
     # more (an extra job round-trip + second decode pass) than it saves —
     # go straight exhaustive. load() DERIVES this from measured data (see
@@ -191,16 +204,23 @@ class SegmentIndex:
         # manifests still exist (fold GC is best-effort after its commit)
         min_gen = int(m.get("min_gen", 0))
         gens = []
-        stats = {"n_docs": int(m["n_docs"]), "avgdl": float(m["avgdl"]) or 1.0}
+        # n_docs/avgdl (and field_stats for fielded indexes) come from the
+        # HIGHEST committed delta generation — each batch writes the
+        # post-batch exact stats — falling back to the base manifest
+        stats_src = m
+        best_gen = min_gen
         for name in fs.listdir(path):
             if not (name.startswith("delta_manifest_") and name.endswith(".json")):
                 continue
             dm = storage.read_json(fs, pjoin(path, name))
             if dm.get("committed") and int(dm["gen"]) > min_gen:
                 gens.append(int(dm["gen"]))
-                stats = {"n_docs": int(dm["n_docs"]), "avgdl": float(dm["avgdl"]) or 1.0}
+                if int(dm["gen"]) > best_gen:
+                    best_gen = int(dm["gen"])
+                    stats_src = dm
         return cls(
-            spark=spark, path=path, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+            spark=spark, path=path, n_docs=int(stats_src["n_docs"]),
+            avgdl=float(stats_src["avgdl"]) or 1.0,
             nb_max=int(m["nb_max"]), n_buckets=int(m["n_buckets"]),
             analyzer=m.get("analyzer", "simple"),
             positions=bool(m.get("positions", False)),
@@ -208,6 +228,8 @@ class SegmentIndex:
             **({"prune_min_postings": crossover} if crossover else {}),
             seg_dir=m.get("seg_dir", "segments"),
             stats_file=m.get("stats_file", "stats.parquet"),
+            field_stats=stats_src.get("field_stats") or m.get("field_stats"),
+            default_field=m.get("default_field"),
         )
 
     @staticmethod
@@ -217,9 +239,11 @@ class SegmentIndex:
         final decode vs one exhaustive decode); it wins when the decode
         volume it saves costs more than those round-trips.
 
-        * T_job — measured LIVE at load with one trivial job (clamped to
-          [0.02 s, 1 s]); on a busy cluster scheduler this is larger and
-          the crossover correctly rises.
+        * T_job — measured LIVE, once per SparkSession (warmup job, then
+          the median of three trivial jobs, clamped to [0.02 s, 1 s]);
+          on a busy cluster scheduler this is larger and the crossover
+          correctly rises. The warmup + per-session cache keep repeated
+          loads deterministic and free of first-job codegen latency.
         * decode rate — estimated from the index's OWN build manifest:
           posting_count / stage-2 encode seconds (decode and encode share
           the Arrow/numpy codec machinery; decode is the cheaper
@@ -235,15 +259,23 @@ class SegmentIndex:
         sandbox crossover demands; at 3M docs (~2.8M postings/s) it
         lands ≈1M, routing hot queries through the pruned plan that wins
         there (BENCH/BASELINE.md (f))."""
+        import statistics
         import time
 
         bm = m.get("build_metrics") or {}
         pc, s2 = m.get("posting_count"), bm.get("stage2_secs")
         if not pc or not s2:
             return None
-        t0 = time.time()
-        spark.sql("SELECT 1").collect()
-        t_job = min(max(time.time() - t0, 0.02), 1.0)
+        key = id(spark)
+        if key not in _TJOB_CACHE:
+            spark.sql("SELECT 1").collect()  # warmup: codegen + scheduler
+            samples = []
+            for _ in range(3):
+                t0 = time.time()
+                spark.sql("SELECT 1").collect()
+                samples.append(time.time() - t0)
+            _TJOB_CACHE[key] = min(max(statistics.median(samples), 0.02), 1.0)
+        t_job = _TJOB_CACHE[key]
         rate = float(pc) / max(float(s2), 1e-6)
         return int(min(10_000_000, max(100_000, 4.0 * t_job * rate)))
 
@@ -300,8 +332,32 @@ class SegmentIndex:
             .toPandas()
         )
 
-    def _idf(self, df: int) -> float:
-        return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+    def _idf(self, df: int, n_docs: int | None = None) -> float:
+        n = self.n_docs if n_docs is None else n_docs
+        return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+
+    def _resolve_field(self, field: str | None) -> tuple[str, int, float]:
+        """→ (term_prefix, n_docs, avgdl) for a query. On a fielded index
+        (build_segments(fields=...)) the posting keys are composite
+        ``field\x1fterm`` strings and scoring uses the QUERIED field's own
+        docCount/avgdl from the manifest's field_stats (Lucene per-field
+        norms) — never the manifest's global n_docs/avgdl, which for a
+        fielded build count the field-exploded token stream (docs x
+        fields) and would inflate idf / blend avgdl across fields."""
+        if self.field_stats:
+            f = field or self.default_field
+            if f not in self.field_stats:
+                raise KeyError(
+                    f"unknown field {f!r}; index has {sorted(self.field_stats)}"
+                )
+            fs = self.field_stats[f]
+            return f + FIELD_SEP, int(fs["n_docs"]), float(fs["avgdl"]) or 1.0
+        if field is not None:
+            raise ValueError(
+                "field-scoped search requires an index built with "
+                "build_segments(fields=...); this index is unfielded"
+            )
+        return "", self.n_docs, self.avgdl
 
     def _decode(self, terms: list[str],
                 keys: set[tuple[str, int, int]] | None) -> DataFrame:
@@ -323,7 +379,9 @@ class SegmentIndex:
     # -- scoring ----------------------------------------------------------
     def _score(self, decoded: DataFrame, term_df: dict[str, int],
                n_terms_required: int | None, k: int,
-               keep_classes: list[int] | None = None) -> DataFrame:
+               keep_classes: list[int] | None = None,
+               n_docs: int | None = None,
+               avgdl: float | None = None) -> DataFrame:
         tomb = self._tombstones()
         if tomb is not None:
             decoded = (
@@ -342,7 +400,9 @@ class SegmentIndex:
             )
         partial = bm25_partial_col(
             F.col("tf").cast("double"), F.col("doc_len").cast("double"),
-            F.col("df").cast("double"), self.n_docs, self.avgdl,
+            F.col("df").cast("double"),
+            self.n_docs if n_docs is None else n_docs,
+            self.avgdl if avgdl is None else avgdl,
         )
         scored = (
             cand.select("doc_id", partial.alias("partial"))
@@ -359,8 +419,14 @@ class SegmentIndex:
 
     # -- public -----------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "AND",
-               prune: bool = True) -> DataFrame:
-        terms = sorted(set(analyze_query_py(query, self.analyzer)))
+               prune: bool = True, field: str | None = None) -> DataFrame:
+        """BM25 top-k. On a fielded index ``field`` picks the scope
+        (default: the manifest's default_field); terms become composite
+        ``field\x1fterm`` keys and BM25 uses that field's docCount/avgdl."""
+        prefix, n_docs, avgdl = self._resolve_field(field)
+        terms = sorted(
+            {prefix + t for t in analyze_query_py(query, self.analyzer)}
+        )
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
             return empty
@@ -377,7 +443,8 @@ class SegmentIndex:
         required = len(terms) if is_and else None
 
         if not prune or sum(term_df.values()) <= self.prune_min_postings:
-            return self._score(self._decode(terms, None), term_df, required, k)
+            return self._score(self._decode(terms, None), term_df, required, k,
+                               n_docs=n_docs, avgdl=avgdl)
 
         # ---- block-max pruning math (driver-side, metadata only) ----
         nb_all = self.nb_max
@@ -387,7 +454,7 @@ class SegmentIndex:
         cnt_max = np.zeros(nb_all)
         g = np.arange(nb_all)
         for t, tgrp in meta.groupby("term"):
-            idf = self._idf(term_df[t])
+            idf = self._idf(term_df[t], n_docs)
             mp_full = np.zeros(nb_all)
             ct_full = np.zeros(nb_all)
             for (gen, nb_t), grp in tgrp.groupby(["gen", "nb"]):
@@ -395,7 +462,7 @@ class SegmentIndex:
                 mp = np.zeros(nb_t)
                 ct = np.zeros(nb_t)
                 part = _partial_np(grp["max_tf"].to_numpy(),
-                                   grp["min_dl"].to_numpy(), self.avgdl)
+                                   grp["min_dl"].to_numpy(), avgdl)
                 mp[grp["salt"].to_numpy()] = part
                 ct[grp["salt"].to_numpy()] = grp["count"].to_numpy()
                 mp_full = np.maximum(mp_full, mp[g % nb_t])
@@ -420,7 +487,8 @@ class SegmentIndex:
 
         seed_keys = self._keys_for_classes(meta, seed)
         seed_top = self._score(
-            self._decode(terms, seed_keys), term_df, required, k, keep_classes=seed
+            self._decode(terms, seed_keys), term_df, required, k,
+            keep_classes=seed, n_docs=n_docs, avgdl=avgdl,
         ).collect()
         if len(seed_top) >= k:
             # θ is derived from a ROUNDED score; subtract a half-ulp of the
@@ -433,23 +501,27 @@ class SegmentIndex:
             keep = order  # not enough seeds: fall back to all feasible classes
         keep_keys = self._keys_for_classes(meta, keep)
         return self._score(
-            self._decode(terms, keep_keys), term_df, required, k, keep_classes=keep
+            self._decode(terms, keep_keys), term_df, required, k,
+            keep_classes=keep, n_docs=n_docs, avgdl=avgdl,
         )
 
-    def phrase_search(self, phrase: str) -> DataFrame:
+    def phrase_search(self, phrase: str, field: str | None = None) -> DataFrame:
         """Exact phrase match over the positional segment store →
         (doc_id, phrase_tf). Decodes positions ONLY for the phrase's
         terms, restricted to salt classes where every term is present
         (AND feasibility over the aligned salting — the same pruning
         lattice the scorer uses), then chains adjacency equi-joins.
-        Requires an index built with with_positions=True."""
+        Requires an index built with with_positions=True. On a fielded
+        index the match is scoped to ``field`` (positions are per-field
+        token offsets, so phrases never span fields)."""
         if not self.positions:
             raise ValueError(
                 "phrase_search requires a positional index — rebuild with "
                 "build_segments(..., with_positions=True); this index was "
                 "built without positions"
             )
-        terms = analyze_query_py(phrase, self.analyzer)
+        prefix, _, _ = self._resolve_field(field)
+        terms = [prefix + t for t in analyze_query_py(phrase, self.analyzer)]
         empty = self.spark.createDataFrame([], "doc_id long, phrase_tf long")
         if not terms:
             return empty
@@ -505,9 +577,11 @@ class SegmentIndex:
             .orderBy("doc_id")
         )
 
-    def term_lookup(self, term: str) -> DataFrame:
-        """Single-term postings fetch over the segment store (live docs)."""
-        decoded = self._decode([term], None)
+    def term_lookup(self, term: str, field: str | None = None) -> DataFrame:
+        """Single-term postings fetch over the segment store (live docs).
+        ``field`` scopes the lookup on a fielded index."""
+        prefix, _, _ = self._resolve_field(field)
+        decoded = self._decode([prefix + term], None)
         tomb = self._tombstones()
         if tomb is not None:
             decoded = (

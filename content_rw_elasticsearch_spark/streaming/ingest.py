@@ -66,6 +66,7 @@ def apply_upserts(
     doc_col: str = "doc_id",
     deleted_col: str | None = None,
     ts_col: str | None = None,
+    fields: dict | None = None,
 ) -> dict | None:
     """Apply one batch of upserts/deletes as a new delta generation.
     Returns the committed delta manifest (None for an empty batch).
@@ -76,9 +77,37 @@ def apply_upserts(
     (row_number over ts desc; ties broken arbitrarily — use a unique
     offset column for deterministic replays). Without it, duplicate
     doc_ids raise: letting both versions through would double-count
-    postings in the delta generation and inflate n_docs/avgdl."""
+    postings in the delta generation and inflate n_docs/avgdl.
+
+    FIELDED indexes (build_segments(fields=...)): pass ``fields`` — the
+    same field-name → Column/str mapping the build used (field
+    expressions are arbitrary Columns, so they cannot be persisted in the
+    manifest; the NAMES are validated against it). The batch tokenizes
+    into composite ``field\x1fterm`` keys, the docs table is maintained
+    per (doc, field), and the delta manifest carries recomputed per-field
+    docCount/avgdl that SegmentIndex.load picks up. An upsert replaces
+    the WHOLE document — the doc-keyed tombstone kills every field's old
+    postings, matching the reference's document-granularity upsert.
+    Calling without ``fields`` on a fielded index (or with mismatched
+    names, or with ``fields`` on an unfielded one) raises — silently
+    mixing unprefixed terms into composite-key postings would corrupt
+    postings/df."""
     fs = storage.fs_for(index_dir, spark)
     m = storage.read_json(fs, pjoin(index_dir, "index.json"))
+    fielded = bool(m.get("field_stats"))
+    if fielded and fields is None:
+        raise ValueError(
+            "this index is fielded (manifest carries field_stats) — pass "
+            f"fields= with the build's field expressions for "
+            f"{sorted(m['field_stats'])}"
+        )
+    if not fielded and fields is not None:
+        raise ValueError("fields= passed but the index is unfielded")
+    if fielded and set(fields) != set(m["field_stats"]):
+        raise ValueError(
+            f"fields {sorted(fields)} do not match the manifest's "
+            f"{sorted(m['field_stats'])}"
+        )
     if updates.isEmpty():
         return None
     gen = max(_committed_gens(fs, index_dir) + [int(m.get("min_gen", 0))]) + 1
@@ -110,7 +139,14 @@ def apply_upserts(
 
     # postings of the new versions → encoded delta segments
     with_pos = bool(m.get("positions", False))
-    tok = P.tokenized(live, text_col, "doc_id", m.get("analyzer", "simple"))
+    if fielded:
+        from ..operators.fields import prefixed_field_tokenized
+
+        tok = prefixed_field_tokenized(
+            live, fields, "doc_id", m.get("analyzer", "simple")
+        )
+    else:
+        tok = P.tokenized(live, text_col, "doc_id", m.get("analyzer", "simple"))
     post = (
         P.build_positional_postings(tok) if with_pos else P.build_postings(tok)
     ).withColumn(
@@ -139,8 +175,11 @@ def apply_upserts(
     storage.restore_swap(fs, docs_path)
     old = spark.read.parquet(docs_path)
     upd_ids = updates.select("doc_id").distinct()
-    new_rows = tok.select("doc_id", "doc_len").withColumn("gen", F.lit(gen)) \
+    doc_cols = ["doc_id"] + (["field"] if fielded else []) + ["doc_len"]
+    new_rows = tok.select(*doc_cols).withColumn("gen", F.lit(gen)) \
         .withColumn("deleted", F.lit(False))
+    # the anti-join is on doc_id alone even when fielded: an upsert
+    # replaces the whole document, so every (doc, field) row dies
     merged = old.join(upd_ids, "doc_id", "left_anti").unionByName(new_rows)
     tmp = docs_path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
@@ -149,6 +188,15 @@ def apply_upserts(
     row = spark.read.parquet(docs_path).agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
+    field_stats = None
+    if fielded:
+        field_stats = {
+            r["field"]: {"n_docs": int(r["n"]),
+                         "avgdl": float(r["avgdl"] or 0.0)}
+            for r in spark.read.parquet(docs_path).groupBy("field").agg(
+                F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+            ).collect()
+        }
     from ..operators.segments import SEGMENT_READ_SCHEMA
 
     posting_count = int(
@@ -164,6 +212,7 @@ def apply_upserts(
         "n_upserts": int(live.count()),
         "n_deletes": int(n_deletes),
         "posting_count": posting_count,
+        **({"field_stats": field_stats} if field_stats else {}),
         "build_metrics": {"secs": round(time.time() - t0, 3)},
         "committed": True,
     }
@@ -191,6 +240,7 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
     m = storage.read_json(fs, pjoin(index_dir, "index.json"))
     idx = SegmentIndex.load(spark, index_dir)
     with_pos = bool(m.get("positions", False))
+    fielded = bool(m.get("field_stats"))
     tomb = idx._tombstones()
 
     def drop_superseded(df):
@@ -211,14 +261,25 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
             .mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
         )
         # re-aggregate per-(term, doc) positions; exact doc_len from the
-        # live docs table
-        doc_lens = spark.read.parquet(pjoin(index_dir, "docs"))             .select("doc_id", "doc_len")
-        post = (
-            pos_rows.groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"),
-                 F.sort_array(F.collect_list("pos")).alias("positions"))
-            .join(doc_lens, "doc_id")
+        # live docs table. A fielded docs table is keyed (doc, field) —
+        # the composite term's prefix recovers the field for the join, so
+        # each posting gets ITS field's doc_len, not a cross product.
+        regrouped = pos_rows.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
         )
+        if fielded:
+            from ..operators.fields import FIELD_SEP
+
+            doc_lens = spark.read.parquet(pjoin(index_dir, "docs")) \
+                .select("doc_id", "field", "doc_len")
+            post = regrouped.withColumn(
+                "field", F.substring_index("term", FIELD_SEP, 1)
+            ).join(doc_lens, ["doc_id", "field"]).drop("field")
+        else:
+            doc_lens = spark.read.parquet(pjoin(index_dir, "docs")) \
+                .select("doc_id", "doc_len")
+            post = regrouped.join(doc_lens, "doc_id")
     else:
         decoded = drop_superseded(
             idx._segments(None)
@@ -264,6 +325,15 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
         seg_dir=new_seg_dir, stats_file=new_stats, base_version=version,
         min_gen=max(folded_gens) if folded_gens else int(m.get("min_gen", 0)),
     )
+    if fielded:  # per-field norms recomputed exactly from the live docs
+        m["field_stats"] = {
+            r["field"]: {"n_docs": int(r["n"]),
+                         "avgdl": float(r["avgdl"] or 0.0)}
+            for r in spark.read.parquet(pjoin(index_dir, "docs"))
+            .groupBy("field").agg(
+                F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+            ).collect()
+        }
     # THE commit: one atomic manifest write flips base + retires deltas
     storage.write_json_atomic(fs, pjoin(index_dir, "index.json"), m)
     # best-effort GC — stale leftovers are ignored by readers (min_gen /
@@ -285,14 +355,17 @@ def stream_ingest(
     text_col: str = "content",
     doc_col: str = "doc_id",
     deleted_col: str | None = None,
+    fields: dict | None = None,
 ):
     """Structured Streaming wrapper: micro-batch upserts via foreachBatch
     (the Kafka-consumer analog). Use .trigger(availableNow) semantics for
     drain-and-stop; checkpointing makes restarts resume from offsets the
-    way the reference resumes from consumer-group offsets."""
+    way the reference resumes from consumer-group offsets. ``fields``
+    must be the build's field mapping when the index is fielded."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        apply_upserts(spark, index_dir, batch_df, text_col, doc_col, deleted_col)
+        apply_upserts(spark, index_dir, batch_df, text_col, doc_col,
+                      deleted_col, fields=fields)
 
     return (
         stream_df.writeStream.foreachBatch(handle)
