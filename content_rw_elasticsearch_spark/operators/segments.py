@@ -113,13 +113,22 @@ def plan_block_counts(stats: DataFrame, target_block: int = TARGET_BLOCK,
 
 def _encode_stream_fn(with_positions: bool = False,
                       carry_cols: list[str] | None = None):
-    """Sorted-stream encoder: mapInPandas over partitions that are
-    repartitioned by (term, salt) and sorted by (term, salt, doc_id).
-    Groups are sliced with numpy boundary detection instead of one Arrow
-    batch per group (applyInPandas) — one Python call per ~10k-row batch
-    regardless of group count, which removes the per-group Arrow overhead
-    that dominated the encode stage for small blocks. A group can span
-    Arrow batches, so the tail group of each batch is carried over.
+    """Partition-local encoder: mapInPandas over partitions repartitioned
+    (hash only, NO JVM sort) by (term, salt). Grouping happens in numpy:
+    factorize the term column (O(n) hash), pack (term_code, salt) into one
+    int64 key, stable-argsort it, and slice groups at key boundaries.
+
+    Why no sortWithinPartitions: the downstream encoder re-sorts doc_ids
+    per group anyway, so the JVM sort only ever provided GROUPING — and
+    Spark's row-based external sort (UnsafeExternalSorter pointer
+    chasing) was the measured cache/TLB-contention hotspot of the encode
+    stage at high core counts (BENCH/BASELINE.md round-3 event-log
+    attribution: 0.65 stage scaling efficiency, 1.74x CPU inflation).
+    A flat int64 argsort touches memory sequentially and vectorizes.
+
+    Memory: the whole partition is materialized in pandas — the same
+    postings-per-partition bound the JVM sort already imposed (encode
+    partitions scale with data volume, see encode_segments).
 
     ``carry_cols`` ride through unchanged (constant within a (term, salt)
     group, e.g. the bucket id) so the caller can write partitionBy(bucket)
@@ -151,60 +160,45 @@ def _encode_stream_fn(with_positions: bool = False,
         row.update(carry)
         return row
 
+    GROUPS_PER_YIELD = 8192  # bound the size of each output Arrow batch
+
     def run(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if pdf.empty:
-                continue
-            terms = pdf["term"].to_numpy(dtype=object)
-            salts = pdf["salt"].to_numpy()
-            # group boundaries where (term, salt) changes
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-            ) + 1
-            if change.size == 0:
-                carry = pdf  # whole batch is one (possibly continuing) group
-                continue
-            last_start = int(change[-1])
-            carry = pdf.iloc[last_start:]
-            body = pdf.iloc[:last_start]
-            starts = np.concatenate(([0], change[:-1]))
-            ends = change
-            doc_ids = body["doc_id"].to_numpy(dtype=np.uint64)
-            tfs = body["tf"].to_numpy(dtype=np.uint64)
-            dls = body["doc_len"].to_numpy(dtype=np.uint64)
-            plists = (
-                body["positions"].to_numpy(dtype=object)
-                if with_positions and "positions" in body.columns else None
-            )
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # (term, salt) → one flat int64 key: factorize is O(n) hashing,
+        # salt < nb_max ≤ 2^20 by construction so the packing is exact
+        codes = pd.factorize(pdf["term"])[0].astype(np.int64)
+        key = (codes << 20) | pdf["salt"].to_numpy(np.int64)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        change = np.flatnonzero(key_s[1:] != key_s[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [key_s.size]))
+        terms = pdf["term"].to_numpy(dtype=object)[order]
+        salts = pdf["salt"].to_numpy()[order]
+        nbs = pdf["nb"].to_numpy()[order]
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)[order]
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
+        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
+        plists = (
+            pdf["positions"].to_numpy(dtype=object)[order]
+            if with_positions and "positions" in pdf.columns else None
+        )
+        carries = {c: pdf[c].to_numpy()[order] for c in carry_cols}
+        for lo in range(0, starts.size, GROUPS_PER_YIELD):
             out = [
                 encode_rows(
-                    body["term"].iat[s], body["salt"].iat[s], body["nb"].iat[s],
+                    terms[s], salts[s], nbs[s],
                     doc_ids[s:e], tfs[s:e], dls[s:e],
                     plists[s:e] if plists is not None else None,
-                    {c: body[c].iat[s] for c in carry_cols},
+                    {c: carries[c][s] for c in carry_cols},
                 )
-                for s, e in zip(starts, ends)
+                for s, e in zip(starts[lo:lo + GROUPS_PER_YIELD],
+                                ends[lo:lo + GROUPS_PER_YIELD])
             ]
             yield pd.DataFrame(out)
-        if carry is not None and not carry.empty:
-            plists = (
-                carry["positions"].to_numpy(dtype=object)
-                if with_positions and "positions" in carry.columns else None
-            )
-            yield pd.DataFrame([
-                encode_rows(
-                    carry["term"].iat[0], carry["salt"].iat[0], carry["nb"].iat[0],
-                    carry["doc_id"].to_numpy(dtype=np.uint64),
-                    carry["tf"].to_numpy(dtype=np.uint64),
-                    carry["doc_len"].to_numpy(dtype=np.uint64),
-                    plists,
-                    {c: carry[c].iat[0] for c in carry_cols},
-                )
-            ])
 
     return run
 
@@ -238,10 +232,13 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
         list(SEGMENT_SCHEMA.fields)
         + [salted.schema[c] for c in carry_cols]
     )
+    # hash repartition ONLY — no sortWithinPartitions: grouping happens
+    # in the Python encoder (numpy factorize + int64 argsort), which the
+    # round-3 event-log attribution showed scales far better than the
+    # JVM row sort under shared-cache contention
     return (
         salted.select(*cols)
         .repartition(parts, "term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
         .mapInPandas(_encode_stream_fn(with_positions, carry_cols), schema)
     )
 
