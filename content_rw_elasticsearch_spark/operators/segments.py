@@ -228,8 +228,14 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
     cols = ["term", "salt", "nb", "doc_id", "tf", "doc_len"] + (
         ["positions"] if with_positions else []
     ) + carry_cols
+    # the term column may be a dictionary-encoded int64 id instead of the
+    # string (build_segments' id-through-the-shuffle path): the output
+    # schema mirrors the input type, and the grouping (pd.factorize) is
+    # type-agnostic. With int64 terms, NO PyObject strings materialize in
+    # the python workers at all (Arrow int64 -> numpy is zero-copy).
     schema = StructType(
-        list(SEGMENT_SCHEMA.fields)
+        [StructField("term", salted.schema["term"].dataType)]
+        + list(SEGMENT_SCHEMA.fields)[1:]
         + [salted.schema[c] for c in carry_cols]
     )
     # hash repartition ONLY — no sortWithinPartitions: grouping happens
@@ -415,17 +421,43 @@ def build_segments(
         staged = spark.read.parquet(staging_dir)
         if len(missing) < nb:  # resume: encode ONLY the missing buckets
             staged = staged.filter(F.col("bucket").isin(missing))
-        nbs = spark.read.parquet(stats_path).select("term", "nb")
+        nbs = spark.read.parquet(stats_path).select("term", "nb").withColumn(
+            "tid", F.xxhash64("term")
+        )
+        # Dictionary-encode the term THROUGH the encode shuffle: postings
+        # carry the 8-byte xxhash64 id instead of the string, and the
+        # string is restored on the (block-count-sized, ~vocab) output by
+        # a broadcast join against the stats the block-plan join already
+        # broadcasts. Two measured wins at high core counts: ~30% fewer
+        # shuffle bytes, and the python encode workers never materialize
+        # PyObject strings (Arrow int64 -> numpy is zero-copy) — the
+        # allocator/cache churn of 1M+ string objects per partition was
+        # a dominant share of the encode stage's concurrency CPU
+        # inflation (BENCH/BASELINE.md (j)). Guard: a 64-bit id collision
+        # would merge two terms' postings, so fall back to the string
+        # path unless ids are collision-free over this vocabulary (one
+        # vocab-sized aggregate; P(collision) ~ V^2/2^65).
+        idrow = nbs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("tid").alias("nid"),
+        ).collect()[0]
+        use_ids = int(idrow["n"]) == int(idrow["nid"])
         salted = staged.join(F.broadcast(nbs), "term").withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
         )
+        if use_ids:
+            salted = salted.drop("term").withColumnRenamed("tid", "term")
         segs = encode_segments(
-            salted.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
-            ),
+            salted,
             stage1.get("positions", False),
             carry_cols=["bucket"],
         )
+        if use_ids:
+            segs = segs.withColumnRenamed("term", "tid").join(
+                F.broadcast(nbs.select("tid", "term")), "tid"
+            ).drop("tid")
         # the encoded blocks are tiny relative to the postings (compressed
         # segment rows), so one cheap extra shuffle packs them into one
         # partition per bucket: the partitionBy write then emits O(buckets)
