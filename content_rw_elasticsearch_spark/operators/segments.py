@@ -310,6 +310,11 @@ def build_segments(
             P.build_positional_postings(tok) if with_positions else P.build_postings(tok)
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        ).withColumn(
+            # dictionary id alongside the string: stage 2 reads ONLY the
+            # 8-byte tid (parquet column pruning skips the strings) and
+            # joins the block plan on the long key — see the stage-2 note
+            "tid", F.xxhash64("term")
         )
         fs.rmtree(staging_dir)  # uncommitted partial write: rebuild
         t = time.time()
@@ -424,31 +429,43 @@ def build_segments(
         nbs = spark.read.parquet(stats_path).select("term", "nb").withColumn(
             "tid", F.xxhash64("term")
         )
-        # Dictionary-encode the term THROUGH the encode shuffle: postings
-        # carry the 8-byte xxhash64 id instead of the string, and the
-        # string is restored on the (block-count-sized, ~vocab) output by
-        # a broadcast join against the stats the block-plan join already
-        # broadcasts. Two measured wins at high core counts: ~30% fewer
-        # shuffle bytes, and the python encode workers never materialize
-        # PyObject strings (Arrow int64 -> numpy is zero-copy) — the
-        # allocator/cache churn of 1M+ string objects per partition was
-        # a dominant share of the encode stage's concurrency CPU
-        # inflation (BENCH/BASELINE.md (j)). Guard: a 64-bit id collision
-        # would merge two terms' postings, so fall back to the string
-        # path unless ids are collision-free over this vocabulary (one
-        # vocab-sized aggregate; P(collision) ~ V^2/2^65).
+        # Dictionary-encode the term ALL THE WAY through stage 2: staging
+        # carries tid = xxhash64(term) next to the string (stage 1), so
+        # the encode pipeline (a) scans ONLY the 8-byte tid — parquet
+        # column pruning never reads the strings — (b) attaches the block
+        # plan by joining on the single LONG key, which Spark executes as
+        # a dense LongHashedRelation probe instead of a vocab-sized
+        # string-keyed BytesToBytesMap probe per posting (thread dumps
+        # caught arrayEquals probe churn as a top encode-map hotspot,
+        # BENCH/BASELINE.md (j)), and (c) ships int64 terms to the python
+        # encoder (Arrow int64 -> numpy zero-copy; no PyObject strings).
+        # The string is restored on the block-count-sized output by one
+        # broadcast join against the same stats dim. Guard: a 64-bit id
+        # collision would merge two terms' postings, so fall back to the
+        # string path unless ids are collision-free over this build's
+        # vocabulary (one vocab-sized aggregate; P(collision) ~ V^2/2^65).
         idrow = nbs.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("tid").alias("nid"),
         ).collect()[0]
         use_ids = int(idrow["n"]) == int(idrow["nid"])
-        salted = staged.join(F.broadcast(nbs), "term").withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
-        ).withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
-        )
+        pos_cols = ["positions"] if stage1.get("positions", False) else []
         if use_ids:
-            salted = salted.drop("term").withColumnRenamed("tid", "term")
+            if "tid" not in staged.columns:  # staging from a pre-tid build
+                staged = staged.withColumn("tid", F.xxhash64("term"))
+            lean = staged.select("tid", "doc_id", "tf", "doc_len", "bucket",
+                                 *pos_cols)
+            salted = lean.join(
+                F.broadcast(nbs.select("tid", "nb")), "tid"
+            ).withColumnRenamed("tid", "term")
+        else:
+            salted = staged.select("term", "doc_id", "tf", "doc_len",
+                                   "bucket", *pos_cols).join(
+                F.broadcast(nbs.select("term", "nb")), "term"
+            )
+        salted = salted.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
+        )
         segs = encode_segments(
             salted,
             stage1.get("positions", False),

@@ -33,6 +33,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # force the serialized sort-based shuffle writer even at the
+        # sandbox's ~120 shuffle partitions. Below the default threshold
+        # (200) Spark picks BypassMergeSortShuffleWriter — one open
+        # lz4-buffered stream PER reduce partition PER map task; at 8
+        # concurrent tasks that is ~1000 hot 32k stream buffers thrashing
+        # the shared L3 (thread dumps caught the encode map stage inside
+        # LZ4BlockOutputStream flush / file open churn; jcmd profile,
+        # BENCH/BASELINE.md (j)). The sort writer buffers rows in memory
+        # pages, radix-sorts by partition id, and streams ONE file out —
+        # the writer every >200-partition production shuffle uses anyway,
+        # so this aligns the sandbox with the deployment-shaped path.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
