@@ -136,6 +136,10 @@ def _encode_stream_fn(with_positions: bool = False,
     carry_cols = carry_cols or []
 
     def encode_rows(term, salt, nb, doc_ids, tfs, dls, plists, carry):
+        # nb is None when the caller ships the lean posting stream (nb is
+        # constant per term and restored block-side by the stats join —
+        # every Arrow column dropped here is posting-count × per-value
+        # ArrowFieldWriter work saved on the JVM side)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids = doc_ids[order]
         tfs = tfs[order]
@@ -148,7 +152,8 @@ def _encode_stream_fn(with_positions: bool = False,
             if flat.size:
                 pos_vb = codec.positions_encode(flat, tfs)
         row = {
-            "term": term, "salt": int(salt), "nb": int(nb),
+            "term": term, "salt": int(salt),
+            **({} if nb is None else {"nb": int(nb)}),
             "count": int(doc_ids.size),
             "max_tf": int(tfs.max()) if tfs.size else 0,
             "min_dl": int(dls.min()) if dls.size else 1,
@@ -178,7 +183,7 @@ def _encode_stream_fn(with_positions: bool = False,
         ends = np.concatenate((change, [key_s.size]))
         terms = pdf["term"].to_numpy(dtype=object)[order]
         salts = pdf["salt"].to_numpy()[order]
-        nbs = pdf["nb"].to_numpy()[order]
+        nbs = pdf["nb"].to_numpy()[order] if "nb" in pdf.columns else None
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)[order]
         tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
         dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
@@ -190,7 +195,7 @@ def _encode_stream_fn(with_positions: bool = False,
         for lo in range(0, starts.size, GROUPS_PER_YIELD):
             out = [
                 encode_rows(
-                    terms[s], salts[s], nbs[s],
+                    terms[s], salts[s], nbs[s] if nbs is not None else None,
                     doc_ids[s:e], tfs[s:e], dls[s:e],
                     plists[s:e] if plists is not None else None,
                     {c: carries[c][s] for c in carry_cols},
@@ -225,17 +230,23 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
         spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR,
         int(spark.conf.get("spark.sql.shuffle.partitions", "0") or 0),
     )
-    cols = ["term", "salt", "nb", "doc_id", "tf", "doc_len"] + (
-        ["positions"] if with_positions else []
-    ) + carry_cols
     # the term column may be a dictionary-encoded int64 id instead of the
     # string (build_segments' id-through-the-shuffle path): the output
     # schema mirrors the input type, and the grouping (pd.factorize) is
     # type-agnostic. With int64 terms, NO PyObject strings materialize in
     # the python workers at all (Arrow int64 -> numpy is zero-copy).
+    # ``nb`` may likewise be absent from the input (lean posting stream —
+    # it is constant per term, so build_segments restores it block-side
+    # via the stats join instead of shipping it per posting); the output
+    # then omits it too.
+    has_nb = "nb" in salted.columns
+    cols = ["term", "salt"] + (["nb"] if has_nb else []) + [
+        "doc_id", "tf", "doc_len"
+    ] + (["positions"] if with_positions else []) + carry_cols
     schema = StructType(
         [StructField("term", salted.schema["term"].dataType)]
-        + list(SEGMENT_SCHEMA.fields)[1:]
+        + [f for f in list(SEGMENT_SCHEMA.fields)[1:]
+           if has_nb or f.name != "nb"]
         + [salted.schema[c] for c in carry_cols]
     )
     # hash repartition ONLY — no sortWithinPartitions: grouping happens
@@ -453,28 +464,40 @@ def build_segments(
         if use_ids:
             if "tid" not in staged.columns:  # staging from a pre-tid build
                 staged = staged.withColumn("tid", F.xxhash64("term"))
-            lean = staged.select("tid", "doc_id", "tf", "doc_len", "bucket",
-                                 *pos_cols)
-            salted = lean.join(
+            # LEAN posting stream into the encode shuffle: nb is needed
+            # only to COMPUTE salt (map side, pre-shuffle) and bucket is
+            # constant per term — both are restored on the block-count-
+            # sized encoder output by the tid broadcast join below, so
+            # neither is shipped per posting. Thread dumps put the
+            # remaining encode-stage JVM CPU in per-value Arrow batch
+            # construction (ArrowFieldWriter/StructVector): every column
+            # dropped here is posting-count × per-value writer work.
+            salted = staged.select("tid", "doc_id", "tf", "doc_len",
+                                   *pos_cols).join(
                 F.broadcast(nbs.select("tid", "nb")), "tid"
-            ).withColumnRenamed("tid", "term")
+            ).withColumn(
+                "salt",
+                F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int"),
+            ).drop("nb").withColumnRenamed("tid", "term")
+            segs = encode_segments(salted, stage1.get("positions", False))
+            restore = nbs.select(
+                "tid", "term", "nb",
+                F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int").alias("bucket"),
+            )
+            segs = segs.withColumnRenamed("term", "tid").join(
+                F.broadcast(restore), "tid"
+            ).drop("tid")
         else:
             salted = staged.select("term", "doc_id", "tf", "doc_len",
                                    "bucket", *pos_cols).join(
                 F.broadcast(nbs.select("term", "nb")), "term"
+            ).withColumn(
+                "salt",
+                F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int"),
             )
-        salted = salted.withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
-        )
-        segs = encode_segments(
-            salted,
-            stage1.get("positions", False),
-            carry_cols=["bucket"],
-        )
-        if use_ids:
-            segs = segs.withColumnRenamed("term", "tid").join(
-                F.broadcast(nbs.select("tid", "term")), "tid"
-            ).drop("tid")
+            segs = encode_segments(
+                salted, stage1.get("positions", False), carry_cols=["bucket"]
+            )
         # the encoded blocks are tiny relative to the postings (compressed
         # segment rows), so one cheap extra shuffle packs them into one
         # partition per bucket: the partitionBy write then emits O(buckets)
