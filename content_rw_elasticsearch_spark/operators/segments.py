@@ -336,7 +336,7 @@ def build_segments(
         # committed and tok is cached — submit them CONCURRENTLY so their
         # stage tails overlap instead of paying three sequential job
         # latencies (a measured term of the per-build Amdahl constant)
-        def job_stats() -> float:
+        def job_stats():
             t = time.time()
             staged = spark.read.parquet(staging_dir)
             plan_block_counts(
@@ -344,7 +344,22 @@ def build_segments(
             ).withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             ).write.mode("overwrite").parquet(stats_path)
-            return round(time.time() - t, 3)
+            # stage-2 driver inputs precomputed here (one tiny agg over
+            # the vocab-sized stats) and committed in the staging
+            # manifest: per-bucket posting counts (bucket manifests) and
+            # the tid-collision gate (id-through-the-shuffle path). Saves
+            # two driver job round-trips per build — a measured slice of
+            # the high-parallelism leg's serial fraction.
+            rows = spark.read.parquet(stats_path).groupBy("bucket").agg(
+                F.sum("df").alias("n"),
+                F.count(F.lit(1)).alias("terms"),
+                F.count_distinct(F.xxhash64("term")).alias("tids"),
+            ).collect()
+            bucket_postings = {int(r["bucket"]): int(r["n"]) for r in rows}
+            tids_unique = sum(int(r["terms"]) for r in rows) == sum(
+                int(r["tids"]) for r in rows
+            )
+            return bucket_postings, tids_unique, round(time.time() - t, 3)
 
         def job_docs() -> float:
             t = time.time()
@@ -381,7 +396,7 @@ def build_segments(
             f_stats = pool.submit(job_stats)
             f_docs = pool.submit(job_docs)
             f_cstats = pool.submit(job_cstats)
-            timings["stats_write"] = f_stats.result()
+            bucket_postings, tids_unique, timings["stats_write"] = f_stats.result()
             timings["docs_write"] = f_docs.result()
             cs, field_stats, timings["corpus_stats"] = f_cstats.result()
         tok.unpersist()
@@ -400,6 +415,8 @@ def build_segments(
                 "positions": with_positions,
                 **({"field_stats": field_stats,
                     "default_field": next(iter(fields))} if fields else {}),
+                "bucket_postings": {str(k): v for k, v in bucket_postings.items()},
+                "tids_unique": tids_unique,
                 "build_metrics": timings,
                 "committed": True,
             },
@@ -427,11 +444,18 @@ def build_segments(
         if not fs.exists(pjoin(out_dir, f"manifest_bucket_{i}.json"))
     ]
     if missing:
-        bucket_postings = {
-            int(r["bucket"]): int(r["n"])
-            for r in spark.read.parquet(stats_path)
-            .groupBy("bucket").agg(F.sum("df").alias("n")).collect()
-        }
+        # per-bucket posting counts: from the staging manifest (stage 1
+        # precomputes them) — a Spark job only for pre-round-4 manifests
+        if "bucket_postings" in stage1:
+            bucket_postings = {
+                int(k): int(v) for k, v in stage1["bucket_postings"].items()
+            }
+        else:
+            bucket_postings = {
+                int(r["bucket"]): int(r["n"])
+                for r in spark.read.parquet(stats_path)
+                .groupBy("bucket").agg(F.sum("df").alias("n")).collect()
+            }
         for i in missing:
             fs.rmtree(pjoin(out_dir, "segments", f"bucket={i}"))  # partial write
         staged = spark.read.parquet(staging_dir)
@@ -455,11 +479,14 @@ def build_segments(
         # collision would merge two terms' postings, so fall back to the
         # string path unless ids are collision-free over this build's
         # vocabulary (one vocab-sized aggregate; P(collision) ~ V^2/2^65).
-        idrow = nbs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("tid").alias("nid"),
-        ).collect()[0]
-        use_ids = int(idrow["n"]) == int(idrow["nid"])
+        if "tids_unique" in stage1:  # precomputed by stage 1
+            use_ids = bool(stage1["tids_unique"])
+        else:
+            idrow = nbs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("tid").alias("nid"),
+            ).collect()[0]
+            use_ids = int(idrow["n"]) == int(idrow["nid"])
         pos_cols = ["positions"] if stage1.get("positions", False) else []
         if use_ids:
             if "tid" not in staged.columns:  # staging from a pre-tid build
