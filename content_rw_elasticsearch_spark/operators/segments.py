@@ -226,9 +226,17 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
     # honor the session's shuffle sizing when it is larger — encode
     # partitions must scale with data volume (postings per partition must
     # fit the in-memory sort), not just with cores
+    # NB: no fallback default in conf.get — Spark 4 VALIDATES the passed
+    # default against the conf spec even when only used as a fallback, so
+    # conf.get(key, "0") throws on a plain spark-submit session where the
+    # key is unset (caught by the submit_build deploy-path check, r4)
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        session_parts = 0
     parts = partitions or max(
         spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "0") or 0),
+        session_parts,
     )
     # the term column may be a dictionary-encoded int64 id instead of the
     # string (build_segments' id-through-the-shuffle path): the output
