@@ -272,7 +272,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _emb(s, d):
         return s.read.parquet(f"{d}/embeddings.parquet")
 
-    out["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(_docs(s, d), "text", "doc_id")
+    # the corpus has no exact dups at sf0.01, which made this gate pass
+    # vacuously on 0 rows (VERDICT r4 #3) — union a doc_id-shifted copy of
+    # every 25th document so real duplicate groups exist; the oracle SQL
+    # seeds identically
+    def _dedup_exact(s, d):
+        from pyspark.sql import functions as F
+        docs = _docs(s, d).select("doc_id", "text")
+        dup = docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        return dedup.exact_dup_groups(docs.unionByName(dup), "text", "doc_id")
+
+    out["dedup_exact_groups"] = _dedup_exact
     out["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), "text", "doc_id", n=3, tau=0.8)
     out["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_dedup(
@@ -360,7 +371,18 @@ def oracle_sql() -> dict[str, str]:
     out["events_json_extract"] = R.events_json_extract_sql()
     out["upsert_last_writer_wins"] = R.last_writer_wins_sql()
     out["antijoin_unmatched_lookups"] = R.unmatched_lookups_sql()
-    out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
+    # seeded input (see queries()): every 25th doc duplicated under a
+    # shifted doc_id so the gate checks nonzero duplicate groups
+    out["dedup_exact_groups"] = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+)
+SELECT content_sha, count(*)::BIGINT AS n, min(doc_id) AS keep_doc_id
+FROM (SELECT doc_id, sha256(text) AS content_sha FROM docs2)
+GROUP BY content_sha HAVING count(*) > 1 ORDER BY content_sha
+"""
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
     # LSH+verify must equal the exact-join result (recall caveat in docstring)
     out["dedup_minhash_lsh"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)

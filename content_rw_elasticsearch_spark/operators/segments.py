@@ -126,9 +126,14 @@ def _encode_stream_fn(with_positions: bool = False,
     attribution: 0.65 stage scaling efficiency, 1.74x CPU inflation).
     A flat int64 argsort touches memory sequentially and vectorizes.
 
-    Memory: the whole partition is materialized in pandas — the same
-    postings-per-partition bound the JVM sort already imposed (encode
-    partitions scale with data volume, see encode_segments).
+    Memory: the whole partition IS materialized in pandas, and unlike the
+    replaced JVM sort (UnsafeExternalSorter) it cannot spill — a hash
+    repartition scatters each (term, salt) group across the whole
+    partition, so no streaming-carry design applies. The bound is
+    therefore enforced UPSTREAM: encode_segments sizes the partition
+    count from the estimated posting volume (POSTINGS_PER_ENCODE_
+    PARTITION, positional streams ÷4 for the object-dtype position
+    lists) so each worker holds a bounded slice (ADVICE r4).
 
     ``carry_cols`` ride through unchanged (constant within a (term, salt)
     group, e.g. the bucket id) so the caller can write partitionBy(bucket)
@@ -172,8 +177,17 @@ def _encode_stream_fn(with_positions: bool = False,
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        # (term, salt) → one flat int64 key: factorize is O(n) hashing,
-        # salt < nb_max ≤ 2^20 by construction so the packing is exact
+        # (term, salt) → one flat int64 key: factorize is O(n) hashing.
+        # The packing is exact only for salt < 2^20 — build_segments
+        # validates nb_max at entry, and this guard catches any caller
+        # that bypasses it (a silent overflow would MERGE two groups'
+        # postings, corruption not an error — ADVICE r4)
+        smax = int(pdf["salt"].max())
+        if smax >= (1 << 20):
+            raise ValueError(
+                f"salt {smax} >= 2^20 breaks the (term_code << 20) | salt "
+                "group packing; nb_max must be <= 2^20"
+            )
         codes = pd.factorize(pdf["term"])[0].astype(np.int64)
         key = (codes << 20) | pdf["salt"].to_numpy(np.int64)
         order = np.argsort(key, kind="stable")
@@ -213,14 +227,22 @@ ENCODE_PARTITION_FACTOR = 4  # partitions per core: straggler smoothing —
 # partition stalls the whole encode stage; 4x gives the scheduler slack
 # to rebalance (measured: see BENCH/BASELINE.md round-2 notes)
 
+POSTINGS_PER_ENCODE_PARTITION = 4_000_000  # python-worker memory bound:
+# the encoder materializes its whole partition in pandas (no spill — see
+# _encode_stream_fn), ~40-60 B/posting in numpy form → ≲250 MB per worker
+# at this bound. Callers that know the posting volume pass est_postings
+# so the partition count scales with DATA, not just cores (ADVICE r4).
+
 
 def encode_segments(salted: DataFrame, with_positions: bool = False,
                     partitions: int | None = None,
-                    carry_cols: list[str] | None = None) -> DataFrame:
+                    carry_cols: list[str] | None = None,
+                    est_postings: int | None = None) -> DataFrame:
     """salted postings (term, salt, nb, doc_id, tf, doc_len[, positions])
     → segment rows, via the sorted-stream encoder. ``carry_cols`` are
     extra columns constant per (term, salt) group (e.g. bucket) emitted
-    unchanged on the segment rows."""
+    unchanged on the segment rows. ``est_postings`` (when the caller
+    knows the input volume) enforces the per-worker memory bound."""
     spark = salted.sparkSession
     carry_cols = carry_cols or []
     # honor the session's shuffle sizing when it is larger — encode
@@ -234,9 +256,11 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         session_parts = 0
+    bound = POSTINGS_PER_ENCODE_PARTITION // (4 if with_positions else 1)
     parts = partitions or max(
         spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR,
         session_parts,
+        -(-est_postings // bound) if est_postings else 0,
     )
     # the term column may be a dictionary-encoded int64 id instead of the
     # string (build_segments' id-through-the-shuffle path): the output
@@ -295,6 +319,11 @@ def build_segments(
     Query with SegmentIndex.search(field=...); incremental ingest needs
     the same ``fields`` mapping (apply_upserts validates the names
     against the manifest and refuses unprefixed batches)."""
+    if nb_max > (1 << 20):
+        raise ValueError(
+            f"nb_max={nb_max} > 2^20 — the encoder's (term_code << 20) | "
+            "salt group packing requires salt < 2^20"
+        )
     spark = corpus.sparkSession
     fs = storage.fs_for(out_dir, spark)
     if overwrite and fs.exists(out_dir):
@@ -514,7 +543,10 @@ def build_segments(
                 "salt",
                 F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int"),
             ).drop("nb").withColumnRenamed("tid", "term")
-            segs = encode_segments(salted, stage1.get("positions", False))
+            segs = encode_segments(
+                salted, stage1.get("positions", False),
+                est_postings=sum(bucket_postings.get(i, 0) for i in missing),
+            )
             restore = nbs.select(
                 "tid", "term", "nb",
                 F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int").alias("bucket"),
@@ -531,7 +563,8 @@ def build_segments(
                 F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int"),
             )
             segs = encode_segments(
-                salted, stage1.get("positions", False), carry_cols=["bucket"]
+                salted, stage1.get("positions", False), carry_cols=["bucket"],
+                est_postings=sum(bucket_postings.get(i, 0) for i in missing),
             )
         # the encoded blocks are tiny relative to the postings (compressed
         # segment rows), so one cheap extra shuffle packs them into one
@@ -660,24 +693,38 @@ def merge_segments(
             new_nb *= 2
         if new_nb >= int(pdf["nb"].max()):
             return pdf[[f.name for f in SEGMENT_SCHEMA.fields]]
+        # numpy grouping over the block rows (same shape as the encoder's
+        # _encode_stream_fn — VERDICT r4 #5 retired the pandas iterrows
+        # walk): argsort the folded salt, slice groups at boundaries. The
+        # remaining per-BLOCK loop is the codec decode, which takes one
+        # binary buffer at a time by construction.
+        new_salts = pdf["salt"].to_numpy(np.int64) % new_nb
+        order_blk = np.argsort(new_salts, kind="stable")
+        ns_sorted = new_salts[order_blk]
+        change = np.flatnonzero(ns_sorted[1:] != ns_sorted[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [ns_sorted.size]))
+        docs_arr = pdf["docs_vb"].to_numpy(object)[order_blk]
+        tfs_arr = pdf["tfs_vb"].to_numpy(object)[order_blk]
+        dls_arr = pdf["dlens_vb"].to_numpy(object)[order_blk]
+        pos_arr = pdf["pos_vb"].to_numpy(object)[order_blk]
         out = []
-        groups: dict[int, list[pd.Series]] = {}
-        for _, row in pdf.iterrows():
-            groups.setdefault(int(row["salt"]) % new_nb, []).append(row)
-        for new_salt, rows in sorted(groups.items()):
-            docs = np.concatenate([codec.delta_decode(r["docs_vb"]) for r in rows])
-            tfs = np.concatenate([codec.varbyte_decode(r["tfs_vb"]) for r in rows])
-            dls = np.concatenate([codec.varbyte_decode(r["dlens_vb"]) for r in rows])
+        for s, e in zip(starts, ends):
+            docs = np.concatenate([codec.delta_decode(b) for b in docs_arr[s:e]])
+            dec_tfs = [codec.varbyte_decode(b) for b in tfs_arr[s:e]]
+            tfs = np.concatenate(dec_tfs)
+            dls = np.concatenate([codec.varbyte_decode(b) for b in dls_arr[s:e]])
             order = np.argsort(docs, kind="stable")
             pos_vb = b""
-            if any(len(r["pos_vb"] or b"") for r in rows):
+            if any(len(b or b"") for b in pos_arr[s:e]):
                 # decode each block's flat positions, split per doc,
                 # reorder the doc slices by the merged doc order, re-encode
                 per_doc: list[np.ndarray] = []
-                for r in rows:
-                    rtfs = codec.varbyte_decode(r["tfs_vb"])
-                    flat = codec.positions_decode(r["pos_vb"], rtfs)
-                    per_doc.extend(np.split(flat, np.cumsum(rtfs.astype(np.int64))[:-1]))
+                for rtfs, pvb in zip(dec_tfs, pos_arr[s:e]):
+                    flat = codec.positions_decode(pvb, rtfs)
+                    per_doc.extend(
+                        np.split(flat, np.cumsum(rtfs.astype(np.int64))[:-1])
+                    )
                 per_doc = [per_doc[i] for i in order]
                 merged_flat = (
                     np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
@@ -687,7 +734,7 @@ def merge_segments(
             out.append(
                 {
                     "term": term,
-                    "salt": int(new_salt),
+                    "salt": int(ns_sorted[s]),
                     "nb": int(new_nb),
                     "count": int(docs.size),
                     "max_tf": int(tfs.max()) if tfs.size else 0,

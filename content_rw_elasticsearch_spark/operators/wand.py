@@ -69,8 +69,10 @@ from .segments import SEGMENT_READ_SCHEMA
 # crossover): measured ONCE per session — warmup job first, then the
 # median of three — so index loads are deterministic within a session and
 # never pay the first-job codegen/scheduler warmup as if it were steady-
-# state job latency (ADVICE r3)
-_TJOB_CACHE: dict[int, float] = {}
+# state job latency (ADVICE r3). Keyed by applicationId, not id(spark):
+# CPython can reuse a stopped session's id for a new session, which would
+# inherit a stale T_job (ADVICE r4); app ids are unique per context.
+_TJOB_CACHE: dict[str, float] = {}
 
 _DECODED_SCHEMA = StructType(
     [
@@ -228,7 +230,15 @@ class SegmentIndex:
             **({"prune_min_postings": crossover} if crossover else {}),
             seg_dir=m.get("seg_dir", "segments"),
             stats_file=m.get("stats_file", "stats.parquet"),
-            field_stats=stats_src.get("field_stats") or m.get("field_stats"),
+            # explicit None check, not truthiness: a delete-only batch on a
+            # fielded index writes field_stats with n_docs == 0 entries —
+            # falling back to the BASE manifest there would score against
+            # norms for documents that no longer exist (ADVICE r4)
+            field_stats=(
+                stats_src["field_stats"]
+                if stats_src.get("field_stats") is not None
+                else m.get("field_stats")
+            ),
             default_field=m.get("default_field"),
         )
 
@@ -266,7 +276,7 @@ class SegmentIndex:
         pc, s2 = m.get("posting_count"), bm.get("stage2_secs")
         if not pc or not s2:
             return None
-        key = id(spark)
+        key = spark.sparkContext.applicationId
         if key not in _TJOB_CACHE:
             spark.sql("SELECT 1").collect()  # warmup: codegen + scheduler
             samples = []
@@ -359,15 +369,23 @@ class SegmentIndex:
             )
         return "", self.n_docs, self.avgdl
 
+    def _filter_keys(self, segs: DataFrame,
+                     keys: set[tuple[str, int, int]]) -> DataFrame:
+        """Restrict segment rows to the given (term, gen, salt) block keys
+        via a broadcast left-semi join. Bounded plan regardless of |keys|:
+        the previous string-concat in-list put up to |q|·NB_MAX·(1+gens)
+        literals into the plan (codegen/analysis cost scaling with key
+        count, no pushdown on the synthesized column — VERDICT r4 #3)."""
+        kdf = self.spark.createDataFrame(
+            sorted(keys), "term string, gen int, salt int"
+        )
+        return segs.join(F.broadcast(kdf), ["term", "gen", "salt"], "left_semi")
+
     def _decode(self, terms: list[str],
                 keys: set[tuple[str, int, int]] | None) -> DataFrame:
         segs = self._segments(terms)
         if keys is not None:
-            key_strs = [f"{t}\x00{g}\x00{s}" for t, g, s in keys]
-            segs = segs.filter(
-                F.concat_ws("\x00", F.col("term"), F.col("gen").cast("string"),
-                            F.col("salt").cast("string")).isin(key_strs)
-            )
+            segs = self._filter_keys(segs, keys)
         # coalesce to core count: query-filtered segment sets are a few
         # small files per bucket; without this every tiny file-partition
         # spawns its own Python worker (decode-side worker storm)
@@ -428,7 +446,10 @@ class SegmentIndex:
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
         )
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not terms:
+        # a field whose every document was deleted (delta field_stats says
+        # n_docs == 0) matches nothing — short-circuit instead of scoring
+        # stale postings with degenerate idf (ADVICE r4)
+        if not terms or n_docs == 0:
             return empty
         meta = self._meta(terms)
         if meta.empty:
@@ -544,12 +565,7 @@ class SegmentIndex:
         if not classes:
             return empty
         keys = self._keys_for_classes(meta, classes)
-        segs = self._segments(sorted(set(terms)))
-        key_strs = [f"{t}\x00{gn}\x00{s}" for t, gn, s in keys]
-        segs = segs.filter(
-            F.concat_ws("\x00", F.col("term"), F.col("gen").cast("string"),
-                        F.col("salt").cast("string")).isin(key_strs)
-        )
+        segs = self._filter_keys(self._segments(sorted(set(terms))), keys)
         par = self.spark.sparkContext.defaultParallelism
         decoded = segs.select("term", "gen", "docs_vb", "tfs_vb", "pos_vb") \
             .coalesce(max(1, par)) \

@@ -138,10 +138,11 @@ ORDER BY user_id, event_type
 def unmatched_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 anti-join: customers whose nation has no region row — the
     'unmatched concept id → warn + skip' set (mapper.go:76-79) as a
-    left_anti join. (All rows match in TPC-H; the plan shape is the point
-    and the empty result is oracle-checked.)"""
+    left_anti join. TPC-H has no orphan keys, so the gated dim DROPS
+    region 0: region-0 nations' customers become a real nonzero warn set
+    (VERDICT r4 #3 — a 0-row gate proved only plan validity)."""
     customer, nation = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") != 0)
     nk = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey) \
                .select("n_nationkey")
     return (
@@ -156,6 +157,7 @@ def unmatched_lookups_sql() -> str:
 SELECT c_custkey FROM customer
 WHERE c_nationkey NOT IN (
   SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_regionkey <> 0
 )
 ORDER BY c_custkey
 """

@@ -190,13 +190,19 @@ def apply_upserts(
     ).collect()[0]
     field_stats = None
     if fielded:
+        # zero-fill from the manifest's field names first: a batch that
+        # deletes a field's last live documents must write that field as
+        # n_docs == 0 — dropping it (or writing {}) would make readers
+        # fall back to stale base-manifest norms (ADVICE r4)
         field_stats = {
-            r["field"]: {"n_docs": int(r["n"]),
-                         "avgdl": float(r["avgdl"] or 0.0)}
-            for r in spark.read.parquet(docs_path).groupBy("field").agg(
-                F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-            ).collect()
+            f: {"n_docs": 0, "avgdl": 0.0} for f in m["field_stats"]
         }
+        for r in spark.read.parquet(docs_path).groupBy("field").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect():
+            field_stats[r["field"]] = {
+                "n_docs": int(r["n"]), "avgdl": float(r["avgdl"] or 0.0)
+            }
     from ..operators.segments import SEGMENT_READ_SCHEMA
 
     posting_count = int(
@@ -212,7 +218,7 @@ def apply_upserts(
         "n_upserts": int(live.count()),
         "n_deletes": int(n_deletes),
         "posting_count": posting_count,
-        **({"field_stats": field_stats} if field_stats else {}),
+        **({"field_stats": field_stats} if field_stats is not None else {}),
         "build_metrics": {"secs": round(time.time() - t0, 3)},
         "committed": True,
     }
@@ -305,7 +311,11 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
     ).withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
     )
-    new_segs = encode_segments(salted, with_pos).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int"))
+    new_segs = encode_segments(
+        salted, with_pos, est_postings=int(m.get("posting_count", 0)) or None
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")
+    )
     fs.rmtree(pjoin(index_dir, new_seg_dir))
     new_segs.coalesce(4).sortWithinPartitions("bucket", "term", "salt") \
         .write.partitionBy("bucket").mode("overwrite").parquet(pjoin(index_dir, new_seg_dir))
@@ -326,14 +336,15 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
         min_gen=max(folded_gens) if folded_gens else int(m.get("min_gen", 0)),
     )
     if fielded:  # per-field norms recomputed exactly from the live docs
-        m["field_stats"] = {
-            r["field"]: {"n_docs": int(r["n"]),
-                         "avgdl": float(r["avgdl"] or 0.0)}
-            for r in spark.read.parquet(pjoin(index_dir, "docs"))
-            .groupBy("field").agg(
-                F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-            ).collect()
-        }
+        fstats = {f: {"n_docs": 0, "avgdl": 0.0} for f in m["field_stats"]}
+        for r in spark.read.parquet(pjoin(index_dir, "docs")) \
+                .groupBy("field").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("doc_len").alias("avgdl")).collect():
+            fstats[r["field"]] = {
+                "n_docs": int(r["n"]), "avgdl": float(r["avgdl"] or 0.0)
+            }
+        m["field_stats"] = fstats
     # THE commit: one atomic manifest write flips base + retires deltas
     storage.write_json_atomic(fs, pjoin(index_dir, "index.json"), m)
     # best-effort GC — stale leftovers are ignored by readers (min_gen /
