@@ -8,10 +8,17 @@ the reference query set through the segment store. Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "index_build_sec": ...,
    "docs_per_sec": ..., "n_docs": ..., "cpus": ..., "query_p50_sec": ...}
 
-Synthetic mode (SPARK_GRAFT_SYNTH_DOCS=N): same job over a deterministic
-N-doc synthetic code corpus (sources/corpus.py, seed 42) — used by
-scripts/bench_scaling.py to evidence the two-cluster-size scaling
-criterion (local[8] vs local[32] on identical input; BASELINE.md (b)).
+Noise discipline (VERDICT r4 #1: BENCH_r04.json recorded a ~2x noisy
+window with no control): sf mode runs the build+query leg
+$SPARK_GRAFT_BENCH_RUNS times (default 2) in one session and reports the
+MIN leg as the headline — `runs` carries every leg's (value,
+index_build_sec, query_p50_sec) so the recorded JSON shows the window
+spread instead of silently baking it in. The once-per-round extras
+(phrase store, ingest+fold, fielded build) run on the first leg only.
+
+Synthetic mode (SPARK_GRAFT_SYNTH_DOCS=N): single-leg by design — the
+scaling scripts (scripts/bench_scaling*.py) own their repeat/interleave
+discipline and must see raw legs, not a min.
 """
 
 from __future__ import annotations
@@ -32,6 +39,63 @@ from content_rw_elasticsearch_spark.sources.corpus import (  # noqa: E402
     synthesize_corpus,
     with_doc_id,
 )
+
+
+def _build_and_query(spark, corpus, text_col, label, n_docs, out_dir):
+    """One build+query leg: segment build from scratch + the reference
+    query set (exhaustive route and forced-prune route). Returns the
+    leg's headline dict."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    manifest = build_segments(
+        corpus, out_dir, text_col=text_col, doc_col="doc_id",
+        n_buckets=8, snapshot_id=label,
+    )
+    build_sec = time.time() - t0
+
+    idx = SegmentIndex.load(spark, out_dir)
+    # warmup MUST touch real postings (python workers, parquet page cache,
+    # codegen): use the corpus's own hottest term, not a fixed string that
+    # may not exist in this corpus
+    hot = (
+        spark.read.parquet(f"{out_dir}/stats.parquet")
+        .orderBy("df", ascending=False).limit(1).collect()[0]["term"]
+    )
+    idx.search(hot, k=10).collect()
+
+    qtimes: dict[str, float] = {}
+    for name, spec in REFERENCE_QUERIES.items():
+        t = time.time()
+        idx.search(spec["query"], k=spec["k"], mode=spec["mode"]).collect()
+        qtimes[name] = round(time.time() - t, 4)
+
+    # block-max WAND pruned branch, FORCED (prune_min_postings=0): at small
+    # scale every query ducks under the crossover threshold and takes the
+    # exhaustive branch, so the two-phase pruned plan's latency would
+    # otherwise never be measured (the correctness of the branch is gated
+    # by the wand_* driver queries + tests)
+    saved = idx.prune_min_postings
+    idx.prune_min_postings = 0
+    qtimes_pruned: dict[str, float] = {}
+    for name, spec in REFERENCE_QUERIES.items():
+        t = time.time()
+        idx.search(spec["query"], k=spec["k"], mode=spec["mode"], prune=True).collect()
+        qtimes_pruned[name] = round(time.time() - t, 4)
+    idx.prune_min_postings = saved
+
+    return {
+        "value": round(build_sec + sum(qtimes.values()), 4),
+        "index_build_sec": round(build_sec, 4),
+        "docs_per_sec": round(n_docs / build_sec, 2),
+        "queries": qtimes,
+        "query_p50_sec": round(sorted(qtimes.values())[len(qtimes) // 2], 4),
+        "queries_pruned_forced": qtimes_pruned,
+        "pruned_p50_sec": round(
+            sorted(qtimes_pruned.values())[len(qtimes_pruned) // 2], 4
+        ),
+        "build_metrics": manifest.get("build_metrics", {}),
+        "hot_term": hot,
+    }
 
 
 def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
@@ -91,23 +155,23 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
     # compute scaling — a real N->4N cluster scales disks with executors
     out_base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp")
     out_dir = f"{out_base}/spark_graft_bench_idx_{cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    manifest = build_segments(
-        corpus, out_dir, text_col=text_col, doc_col="doc_id",
-        n_buckets=8, snapshot_id=label,
-    )
-    build_sec = time.time() - t0
 
     # SPARK_GRAFT_SKIP_QUERIES=1: indexing-throughput-only mode for the
     # executor-faithful (local-cluster) scaling legs — the query warm-up
     # decodes the corpus's hottest term, which needs more heap than a
     # 1-core executor gets; the scaling metric is docs/sec of the BUILD.
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
-        total = round(build_sec, 4)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        manifest = build_segments(
+            corpus, out_dir, text_col=text_col, doc_col="doc_id",
+            n_buckets=8, snapshot_id=label,
+        )
+        build_sec = time.time() - t0
         result = {
             "metric": "segment_index_build_only",
-            "value": total, "unit": "sec", "queries": {}, "sf": label,
+            "value": round(build_sec, 4), "unit": "sec", "queries": {},
+            "sf": label,
             "index_build_sec": round(build_sec, 4),
             "docs_per_sec": round(n_docs / build_sec, 2),
             "n_docs": n_docs, "cpus": cpus, "query_p50_sec": None,
@@ -117,39 +181,21 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         return result
 
-    idx = SegmentIndex.load(spark, out_dir)
-    # warmup MUST touch real postings (python workers, parquet page cache,
-    # codegen): use the corpus's own hottest term, not a fixed string that
-    # may not exist in this corpus
-    hot = (
-        spark.read.parquet(f"{out_dir}/stats.parquet")
-        .orderBy("df", ascending=False).limit(1).collect()[0]["term"]
+    n_legs = 1 if synth_docs else max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     )
-    idx.search(hot, k=10).collect()
+    legs = [
+        _build_and_query(spark, corpus, text_col, label, n_docs, out_dir)
+        for _ in range(n_legs)
+    ]
+    best = min(legs, key=lambda r: r["value"])
+    hot = legs[0]["hot_term"]
 
-    qtimes: dict[str, float] = {}
-    for name, spec in REFERENCE_QUERIES.items():
-        t = time.time()
-        idx.search(spec["query"], k=spec["k"], mode=spec["mode"]).collect()
-        qtimes[name] = round(time.time() - t, 4)
-
-    # block-max WAND pruned branch, FORCED (prune_min_postings=0): at small
-    # scale every query ducks under the crossover threshold and takes the
-    # exhaustive branch, so the two-phase pruned plan's latency would
-    # otherwise never be measured (the correctness of the branch is gated
-    # by the wand_* driver queries + tests)
-    saved = idx.prune_min_postings
-    idx.prune_min_postings = 0
-    qtimes_pruned: dict[str, float] = {}
-    for name, spec in REFERENCE_QUERIES.items():
-        t = time.time()
-        idx.search(spec["query"], k=spec["k"], mode=spec["mode"], prune=True).collect()
-        qtimes_pruned[name] = round(time.time() - t, 4)
-    idx.prune_min_postings = saved
-
+    # once-per-round extras, run once against the last leg's index ------
     # phrase latency through the positional segment store (sf mode only —
     # the scaling legs must keep the identical non-positional job)
     phrase_times: dict[str, float] = {}
+    fielded_build_sec = None
     if not synth_docs:
         pos_dir = out_dir + "_pos"
         shutil.rmtree(pos_dir, ignore_errors=True)
@@ -164,6 +210,24 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
             pidx.phrase_search(phrase).collect()
             phrase_times[phrase.replace(" ", "_")] = round(time.time() - t, 4)
         shutil.rmtree(pos_dir, ignore_errors=True)
+
+        # fielded build overhead (VERDICT r4 #6): two fields over the same
+        # corpus ≈ 2x posting rows through the identical pipeline — one
+        # number so the field dimension's cost is measured, not argued
+        from pyspark.sql import functions as F
+        fdir = out_dir + "_fielded"
+        shutil.rmtree(fdir, ignore_errors=True)
+        t = time.time()
+        build_segments(
+            corpus, fdir, doc_col="doc_id", n_buckets=8, snapshot_id=label,
+            fields={
+                "title": F.concat_ws(
+                    " ", F.slice(F.split(F.col(text_col), " "), 1, 5)),
+                "body": F.col(text_col),
+            },
+        )
+        fielded_build_sec = round(time.time() - t, 4)
+        shutil.rmtree(fdir, ignore_errors=True)
 
     # incremental ingest + fold latency (sf mode only): three 500-doc
     # upsert batches (delta generations) against the live index, then the
@@ -197,26 +261,32 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         idx = SegmentIndex.load(spark, out_dir)
         idx.search(hot, k=10).collect()
 
-    total = round(build_sec + sum(qtimes.values()), 4)
     result = {
         "metric": "segment_index_build_plus_reference_queries",
-        "value": total,
+        "value": best["value"],
         "unit": "sec",
-        "queries": qtimes,
+        "queries": best["queries"],
         "sf": label,
-        "index_build_sec": round(build_sec, 4),
-        "docs_per_sec": round(n_docs / build_sec, 2),
+        "index_build_sec": best["index_build_sec"],
+        "docs_per_sec": best["docs_per_sec"],
         "n_docs": n_docs,
         "cpus": cpus,
-        "query_p50_sec": round(sorted(qtimes.values())[len(qtimes) // 2], 4),
-        "queries_pruned_forced": qtimes_pruned,
+        "query_p50_sec": best["query_p50_sec"],
+        "queries_pruned_forced": best["queries_pruned_forced"],
         "phrase_queries": phrase_times,
-        "pruned_p50_sec": round(
-            sorted(qtimes_pruned.values())[len(qtimes_pruned) // 2], 4
-        ),
-        "build_metrics": manifest.get("build_metrics", {}),
+        "pruned_p50_sec": best["pruned_p50_sec"],
+        "build_metrics": best["build_metrics"],
         "ingest_batch_secs": ingest_times,
         "fold_sec": fold_sec,
+        "fielded_build_sec": fielded_build_sec,
+        # window-spread evidence: headline = min leg; a wide spread here
+        # flags a noisy host window (compare legs before calling any
+        # cross-round delta a regression)
+        "runs": [
+            {"value": r["value"], "index_build_sec": r["index_build_sec"],
+             "query_p50_sec": r["query_p50_sec"]}
+            for r in legs
+        ],
     }
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)
