@@ -51,6 +51,7 @@ new one lands; see storage.swap_dir/restore_swap).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -111,40 +112,23 @@ def plan_block_counts(stats: DataFrame, target_block: int = TARGET_BLOCK,
     return stats.withColumn("nb", F.greatest(F.lit(1), nb))
 
 
-def _encode_stream_fn(with_positions: bool = False,
-                      carry_cols: list[str] | None = None):
-    """Partition-local encoder: mapInPandas over partitions repartitioned
-    (hash only, NO JVM sort) by (term, salt). Grouping happens in numpy:
-    factorize the term column (O(n) hash), pack (term_code, salt) into one
-    int64 key, stable-argsort it, and slice groups at key boundaries.
+GROUPS_PER_YIELD = 8192  # bound the size of each output Arrow batch
 
-    Why no sortWithinPartitions: the downstream encoder re-sorts doc_ids
-    per group anyway, so the JVM sort only ever provided GROUPING — and
-    Spark's row-based external sort (UnsafeExternalSorter pointer
-    chasing) was the measured cache/TLB-contention hotspot of the encode
-    stage at high core counts (BENCH/BASELINE.md round-3 event-log
-    attribution: 0.65 stage scaling efficiency, 1.74x CPU inflation).
-    A flat int64 argsort touches memory sequentially and vectorizes.
 
-    Memory: the whole partition IS materialized in pandas, and unlike the
-    replaced JVM sort (UnsafeExternalSorter) it cannot spill — a hash
-    repartition scatters each (term, salt) group across the whole
-    partition, so no streaming-carry design applies. The bound is
-    therefore enforced UPSTREAM: encode_segments sizes the partition
-    count from the estimated posting volume (POSTINGS_PER_ENCODE_
-    PARTITION, positional streams ÷4 for the object-dtype position
-    lists) so each worker holds a bounded slice (ADVICE r4).
-
-    ``carry_cols`` ride through unchanged (constant within a (term, salt)
-    group, e.g. the bucket id) so the caller can write partitionBy(bucket)
-    from the same job."""
-    carry_cols = carry_cols or []
+def _encode_groups(pdf: pd.DataFrame, with_positions: bool,
+                   carry_cols: list[str]):
+    """Shared encoder core: group a MATERIALIZED postings frame by
+    (term, salt) in numpy — factorize the term column (O(n) hash), pack
+    (term_code, salt) into one int64 key, stable-argsort it, slice groups
+    at key boundaries — and yield encoded segment-row DataFrames. Used by
+    both the shuffle-fed encoder (_encode_stream_fn) and the storage-
+    spill encoder (_encode_from_spill_fn)."""
 
     def encode_rows(term, salt, nb, doc_ids, tfs, dls, plists, carry):
         # nb is None when the caller ships the lean posting stream (nb is
         # constant per term and restored block-side by the stats join —
-        # every Arrow column dropped here is posting-count × per-value
-        # ArrowFieldWriter work saved on the JVM side)
+        # every column dropped here is posting-count × per-value
+        # boundary work saved)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids = doc_ids[order]
         tfs = tfs[order]
@@ -170,54 +154,118 @@ def _encode_stream_fn(with_positions: bool = False,
         row.update(carry)
         return row
 
-    GROUPS_PER_YIELD = 8192  # bound the size of each output Arrow batch
+    # The (term_code << 20) | salt packing is exact only for salt < 2^20 —
+    # build_segments validates nb_max at entry, and this guard catches any
+    # caller that bypasses it (a silent overflow would MERGE two groups'
+    # postings, corruption not an error — ADVICE r4)
+    smax = int(pdf["salt"].max())
+    if smax >= (1 << 20):
+        raise ValueError(
+            f"salt {smax} >= 2^20 breaks the (term_code << 20) | salt "
+            "group packing; nb_max must be <= 2^20"
+        )
+    codes = pd.factorize(pdf["term"])[0].astype(np.int64)
+    key = (codes << 20) | pdf["salt"].to_numpy(np.int64)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    change = np.flatnonzero(key_s[1:] != key_s[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [key_s.size]))
+    terms = pdf["term"].to_numpy(dtype=object)[order]
+    salts = pdf["salt"].to_numpy()[order]
+    nbs = pdf["nb"].to_numpy()[order] if "nb" in pdf.columns else None
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)[order]
+    tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
+    dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
+    plists = (
+        pdf["positions"].to_numpy(dtype=object)[order]
+        if with_positions and "positions" in pdf.columns else None
+    )
+    carries = {c: pdf[c].to_numpy()[order] for c in carry_cols}
+    for lo in range(0, starts.size, GROUPS_PER_YIELD):
+        out = [
+            encode_rows(
+                terms[s], salts[s], nbs[s] if nbs is not None else None,
+                doc_ids[s:e], tfs[s:e], dls[s:e],
+                plists[s:e] if plists is not None else None,
+                {c: carries[c][s] for c in carry_cols},
+            )
+            for s, e in zip(starts[lo:lo + GROUPS_PER_YIELD],
+                            ends[lo:lo + GROUPS_PER_YIELD])
+        ]
+        yield pd.DataFrame(out)
+
+
+def _encode_stream_fn(with_positions: bool = False,
+                      carry_cols: list[str] | None = None):
+    """Partition-local encoder: mapInPandas over partitions repartitioned
+    (hash only, NO JVM sort) by (term, salt); grouping happens in numpy
+    (_encode_groups).
+
+    Why no sortWithinPartitions: the downstream encoder re-sorts doc_ids
+    per group anyway, so the JVM sort only ever provided GROUPING — and
+    Spark's row-based external sort (UnsafeExternalSorter pointer
+    chasing) was the measured cache/TLB-contention hotspot of the encode
+    stage at high core counts (BENCH/BASELINE.md round-3 event-log
+    attribution: 0.65 stage scaling efficiency, 1.74x CPU inflation).
+    A flat int64 argsort touches memory sequentially and vectorizes.
+
+    Memory: the whole partition IS materialized in pandas, and unlike the
+    replaced JVM sort (UnsafeExternalSorter) it cannot spill — a hash
+    repartition scatters each (term, salt) group across the whole
+    partition, so no streaming-carry design applies. The bound is
+    therefore enforced UPSTREAM: encode_segments sizes the partition
+    count from the estimated posting volume (POSTINGS_PER_ENCODE_
+    PARTITION, positional streams ÷4 for the object-dtype position
+    lists) so each worker holds a bounded slice (ADVICE r4).
+
+    ``carry_cols`` ride through unchanged (constant within a (term, salt)
+    group, e.g. the bucket id) so the caller can write partitionBy(bucket)
+    from the same job."""
+    carry_cols = carry_cols or []
 
     def run(batches):
         pdfs = [p for p in batches if not p.empty]
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        # (term, salt) → one flat int64 key: factorize is O(n) hashing.
-        # The packing is exact only for salt < 2^20 — build_segments
-        # validates nb_max at entry, and this guard catches any caller
-        # that bypasses it (a silent overflow would MERGE two groups'
-        # postings, corruption not an error — ADVICE r4)
-        smax = int(pdf["salt"].max())
-        if smax >= (1 << 20):
-            raise ValueError(
-                f"salt {smax} >= 2^20 breaks the (term_code << 20) | salt "
-                "group packing; nb_max must be <= 2^20"
-            )
-        codes = pd.factorize(pdf["term"])[0].astype(np.int64)
-        key = (codes << 20) | pdf["salt"].to_numpy(np.int64)
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        change = np.flatnonzero(key_s[1:] != key_s[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [key_s.size]))
-        terms = pdf["term"].to_numpy(dtype=object)[order]
-        salts = pdf["salt"].to_numpy()[order]
-        nbs = pdf["nb"].to_numpy()[order] if "nb" in pdf.columns else None
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)[order]
-        tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
-        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
-        plists = (
-            pdf["positions"].to_numpy(dtype=object)[order]
-            if with_positions and "positions" in pdf.columns else None
-        )
-        carries = {c: pdf[c].to_numpy()[order] for c in carry_cols}
-        for lo in range(0, starts.size, GROUPS_PER_YIELD):
-            out = [
-                encode_rows(
-                    terms[s], salts[s], nbs[s] if nbs is not None else None,
-                    doc_ids[s:e], tfs[s:e], dls[s:e],
-                    plists[s:e] if plists is not None else None,
-                    {c: carries[c][s] for c in carry_cols},
-                )
-                for s, e in zip(starts[lo:lo + GROUPS_PER_YIELD],
-                                ends[lo:lo + GROUPS_PER_YIELD])
-            ]
-            yield pd.DataFrame(out)
+        yield from _encode_groups(pdf, with_positions, carry_cols)
+
+    return run
+
+
+def _encode_from_spill_fn(spill_dir: str, with_positions: bool):
+    """Storage-spill encoder: the input rows are tiny EPART IDS, not
+    postings — each python worker reads its epart's postings DIRECTLY
+    from parquet via pyarrow (C++ vectorized reader, zero JVM work) and
+    runs the same numpy grouping + codec as the shuffle-fed path.
+
+    Why: thread dumps pinned the encode stage's residual JVM CPU (2.89x
+    inflation at 8 cores, the one stage below ~0.9 scaling efficiency)
+    on per-value Arrow batch construction (ArrowFieldWriter) feeding
+    mapInPandas after the row shuffle — BENCH/BASELINE.md (j). Routing
+    the postings through a partitionBy(epart) parquet write (map-only,
+    vectorized JVM columnar encode, the same write path whose staging
+    stage measures 0.9-1.0 scaling) and a pyarrow read removes BOTH the
+    row shuffle and the per-value Arrow boundary from the hot path."""
+    cols = ["term", "salt", "doc_id", "tf", "doc_len"] + (
+        ["positions"] if with_positions else []
+    )
+
+    def run(batches):
+        import os
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for ep in pdf["epart"]:
+                path = os.path.join(spill_dir, f"epart={int(ep)}")
+                if not os.path.isdir(path):  # hash gap: no postings here
+                    continue
+                gpdf = pq.read_table(path, columns=cols).to_pandas()
+                if gpdf.empty:
+                    continue
+                yield from _encode_groups(gpdf, with_positions, [])
 
     return run
 
@@ -232,6 +280,19 @@ POSTINGS_PER_ENCODE_PARTITION = 4_000_000  # python-worker memory bound:
 # _encode_stream_fn), ~40-60 B/posting in numpy form → ≲250 MB per worker
 # at this bound. Callers that know the posting volume pass est_postings
 # so the partition count scales with DATA, not just cores (ADVICE r4).
+
+
+def _sized_encode_parts(spark: SparkSession, session_parts: int,
+                        with_positions: bool,
+                        est_postings: int | None) -> int:
+    """Encode-partition count: scheduler slack per core, the session's
+    data-sized shuffle sizing, AND the python-worker memory bound."""
+    bound = POSTINGS_PER_ENCODE_PARTITION // (4 if with_positions else 1)
+    return max(
+        spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR,
+        session_parts,
+        -(-est_postings // bound) if est_postings else 0,
+    )
 
 
 def encode_segments(salted: DataFrame, with_positions: bool = False,
@@ -256,11 +317,8 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         session_parts = 0
-    bound = POSTINGS_PER_ENCODE_PARTITION // (4 if with_positions else 1)
-    parts = partitions or max(
-        spark.sparkContext.defaultParallelism * ENCODE_PARTITION_FACTOR,
-        session_parts,
-        -(-est_postings // bound) if est_postings else 0,
+    parts = partitions or _sized_encode_parts(
+        spark, session_parts, with_positions, est_postings
     )
     # the term column may be a dictionary-encoded int64 id instead of the
     # string (build_segments' id-through-the-shuffle path): the output
@@ -292,6 +350,66 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
     )
 
 
+ESPILL_MIN_POSTINGS = 5_000_000  # below this the extra materialization
+# costs more than the Arrow boundary it saves (an sf0.1 build is ~120k
+# postings; the 3M-doc scaling corpus is ~270M) — and keeping small
+# builds on the shuffle path keeps both paths continuously exercised
+
+
+def encode_segments_spill(salted: DataFrame, spill_dir: str,
+                          with_positions: bool = False,
+                          est_postings: int | None = None) -> DataFrame:
+    """Storage-spill variant of encode_segments (the 100 TB path; see
+    _encode_from_spill_fn for the measured why). Dataflow:
+
+      1. map-only JVM job: salted postings → parquet, partitionBy(epart)
+         where epart = xxhash64(term, salt) % n_eparts — NO row shuffle;
+         each map task appends its rows to per-epart files. tf/doc_len/
+         salt are cast to int32 (all bounded well below 2^31) to halve
+         the spill bytes.
+      2. a tiny epart-id DataFrame (one row per epart, round-robin
+         repartitioned to exactly one id per task) drives mapInPandas:
+         each python worker pyarrow-reads its epart directory and runs
+         the shared numpy grouping + codec. The only data crossing the
+         JVM↔python Arrow boundary is the block-count-sized OUTPUT.
+
+    The per-worker memory bound is the epart size — the same
+    POSTINGS_PER_ENCODE_PARTITION sizing as the shuffle path. On a real
+    cluster ``spill_dir`` must be on shared storage readable by pyarrow
+    from the executors (HDFS/S3/NFS — the same contract the two-phase
+    MR-style shuffle-on-storage systems use); the caller (build_segments)
+    auto-routes here only for non-URI paths and can be forced either way
+    with encode_path=."""
+    spark = salted.sparkSession
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        session_parts = 0
+    eparts = _sized_encode_parts(spark, session_parts, with_positions,
+                                 est_postings)
+    lean = salted.select(
+        "term",
+        F.col("salt").cast("int").alias("salt"),
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
+        *(["positions"] if with_positions else []),
+        F.pmod(F.xxhash64("term", "salt"), F.lit(eparts)).cast("int")
+        .alias("epart"),
+    )
+    lean.write.partitionBy("epart").mode("overwrite").parquet(spill_dir)
+    ids = spark.createDataFrame(
+        [(i,) for i in range(eparts)], "epart int"
+    ).repartition(eparts)  # round-robin: exactly one epart per task
+    schema = StructType(
+        [StructField("term", salted.schema["term"].dataType)]
+        + [f for f in list(SEGMENT_SCHEMA.fields)[1:] if f.name != "nb"]
+    )
+    return ids.mapInPandas(
+        _encode_from_spill_fn(spill_dir, with_positions), schema
+    )
+
+
 def build_segments(
     corpus: DataFrame,
     out_dir: str,
@@ -305,9 +423,18 @@ def build_segments(
     overwrite: bool = False,
     with_positions: bool = False,
     fields: "dict | None" = None,
+    encode_path: "str | None" = None,
 ) -> dict:
     """Build (or resume) the segment index at ``out_dir``. Returns the
     global manifest dict.
+
+    ``encode_path`` picks the stage-2 encode route: "spill" (storage-
+    spill encode — partitionBy(epart) parquet write + pyarrow-fed
+    encoder, see encode_segments_spill), "inline" (the shuffle-fed
+    mapInPandas encoder), or None (default) = auto: spill for builds of
+    >= ESPILL_MIN_POSTINGS postings on non-URI paths, inline otherwise.
+    The SPARK_GRAFT_ENCODE_PATH env var overrides the auto choice (A/B
+    knob for the scaling campaign).
 
     ``fields`` (name -> Column/str) builds a FIELD-SCOPED index (the ES
     schema's per-field analyzed indexes, referenceSchema.json:50-59):
@@ -525,6 +652,19 @@ def build_segments(
             ).collect()[0]
             use_ids = int(idrow["n"]) == int(idrow["nid"])
         pos_cols = ["positions"] if stage1.get("positions", False) else []
+        est_missing = sum(bucket_postings.get(i, 0) for i in missing)
+        choice = encode_path or os.environ.get("SPARK_GRAFT_ENCODE_PATH")
+        # the spill route needs (a) the lean tid stream (string fallback
+        # is the ~never collision case) and (b) a spill dir the python
+        # workers can read via pyarrow — auto only trusts plain local/
+        # shared-mount paths, not URI schemes
+        use_spill = use_ids and (
+            choice == "spill"
+            or (choice in (None, "auto")
+                and est_missing >= ESPILL_MIN_POSTINGS
+                and "://" not in out_dir)
+        )
+        spill_dir = pjoin(out_dir, "espill")
         if use_ids:
             if "tid" not in staged.columns:  # staging from a pre-tid build
                 staged = staged.withColumn("tid", F.xxhash64("term"))
@@ -543,10 +683,17 @@ def build_segments(
                 "salt",
                 F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int"),
             ).drop("nb").withColumnRenamed("tid", "term")
-            segs = encode_segments(
-                salted, stage1.get("positions", False),
-                est_postings=sum(bucket_postings.get(i, 0) for i in missing),
-            )
+            if use_spill:
+                fs.rmtree(spill_dir)  # stale spill of a crashed stage 2
+                segs = encode_segments_spill(
+                    salted, spill_dir, stage1.get("positions", False),
+                    est_postings=est_missing,
+                )
+            else:
+                segs = encode_segments(
+                    salted, stage1.get("positions", False),
+                    est_postings=est_missing,
+                )
             restore = nbs.select(
                 "tid", "term", "nb",
                 F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int").alias("bucket"),
@@ -564,7 +711,7 @@ def build_segments(
             )
             segs = encode_segments(
                 salted, stage1.get("positions", False), carry_cols=["bucket"],
-                est_postings=sum(bucket_postings.get(i, 0) for i in missing),
+                est_postings=est_missing,
             )
         # the encoded blocks are tiny relative to the postings (compressed
         # segment rows), so one cheap extra shuffle packs them into one
@@ -582,6 +729,8 @@ def build_segments(
             .parquet(pjoin(out_dir, "segments"))
         )
         encode_secs = round(time.time() - t2, 3)
+        if use_spill:  # derived data — the segments are committed
+            fs.rmtree(spill_dir)
         for i in missing:
             seg_dir = pjoin(out_dir, "segments", f"bucket={i}")
             seg_files = (
