@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             textstats.token_counts(docs, "text", "doc_id")
             .join(textstats.quality_scores(docs, "text", "doc_id"), "doc_id")
             .join(textstats.language_id(docs, "text", "doc_id"), "doc_id")
+            .join(textstats.language_id_ngram(docs, "text", "doc_id"), "doc_id")
             .join(textstats.fingerprints(docs, "text", "doc_id"), "doc_id")
         )
 
@@ -400,6 +401,7 @@ GROUP BY content_sha HAVING count(*) > 1 ORDER BY content_sha
         "SELECT * FROM (" + textstats.token_counts_sql() + ") a JOIN ("
         + textstats.quality_scores_sql() + ") b USING (doc_id) JOIN ("
         + textstats.language_id_sql() + ") c USING (doc_id) JOIN ("
+        + textstats.language_id_ngram_sql() + ") e USING (doc_id) JOIN ("
         + textstats.fingerprints_sql() + ") d USING (doc_id)"
     )
     out["multimodal_metadata"] = multimodal.media_metadata_sql()

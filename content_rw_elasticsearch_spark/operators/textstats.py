@@ -23,6 +23,28 @@ LANG_PROFILES: list[tuple[str, list[str]]] = [
 ]
 
 STOPWORDS_EN = LANG_PROFILES[0][1]
+
+# character-trigram profiles (Cavnar & Trenkle 1994 "N-Gram-Based Text
+# Categorization" style, out-of-place scoring simplified to distinct-hit
+# count): the most frequent word-boundary-padded trigrams of each
+# language, a public-knowledge frequency fact. Trigrams shared across
+# languages (" de" in es/de/fr) are fine — the argmax discriminates.
+# Unlike the stopword profiles these fire on SUBWORD evidence, so short
+# or mixed texts with zero whole stopwords still classify.
+NGRAM_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", [" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+            "ing", "ng ", " to", "to ", "ion", " in", "in ", "ed ",
+            "er ", " is", "is ", "at ", "es ", "tio", " re", "ent"]),
+    ("es", [" de", "de ", " la", "la ", " qu", "que", "ue ", " el",
+            "el ", "os ", " en", "en ", " se", "ión", "ció", "aci",
+            "ar ", "as ", " es", "ado", " po", "nte", " lo", "ien"]),
+    ("de", [" de", "der", "er ", "ie ", " di", "die", "und", " un",
+            "nd ", "ch ", "ein", " ei", "ung", "sch", " sc", "ich",
+            "en ", "ten", " ge", "cht", "ver", " ve", "das", " da"]),
+    ("fr", [" de", "de ", " le", "le ", " la", "es ", "ent", "nt ",
+            " et", "et ", "les", "ion", "tio", "que", " qu", "ue ",
+            "re ", " pa", "ait", "eur", " po", "ons", " un", "our"]),
+]
 # BPE-ish token regex: word pieces OR single non-space symbols
 BPE_REGEX = "[a-z0-9]+|[^a-z0-9 ]"
 
@@ -153,6 +175,80 @@ SELECT doc_id,
             WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
             ELSE 'fr' END AS pred_lang,
        hits_en, hits_es, hits_de, hits_fr
+FROM h ORDER BY doc_id
+"""
+
+
+def language_id_ngram(df: DataFrame, text_col: str, doc_col: str) -> DataFrame:
+    """Character-trigram language ID (the upgrade path language_id's
+    docstring names): normalize to lowercase letters with word-boundary
+    padding, extract distinct char trigrams, count hits against each
+    language's NGRAM_PROFILES, argmax with the same fixed priority
+    tiebreak ('und' on zero hits).
+
+    Same shuffle-free columnar shape as language_id — the profile arrays
+    are expression literals (no join, no explode), the trigram transform
+    is a JVM higher-order function, one pass over the text. Subword
+    evidence makes this robust on short / tokenizer-hostile inputs where
+    whole-stopword matching returns 'und'."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
+    txt = F.concat(F.lit(" "), F.trim(norm), F.lit(" "))
+    m = F.greatest(F.length(txt) - 2, F.lit(1))
+    tris = F.array_distinct(F.filter(
+        F.transform(F.sequence(F.lit(1), m), lambda i: F.substring(txt, i, 3)),
+        lambda t: F.length(t) == 3,
+    ))
+    hits = {
+        lang: F.size(F.array_intersect(tris, F.array(*[F.lit(g) for g in grams])))
+        for lang, grams in NGRAM_PROFILES
+    }
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    best = F.greatest(en, es, de, fr)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        F.col(doc_col).alias("doc_id"), pred.alias("pred_lang_ng"),
+        en.alias("ng_en"), es.alias("ng_es"),
+        de.alias("ng_de"), fr.alias("ng_fr"),
+    ).orderBy("doc_id")
+
+
+def language_id_ngram_sql() -> str:
+    prof = {lang: ", ".join(f"'{g}'" for g in grams) for lang, grams in NGRAM_PROFILES}
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) || ' ' AS txt
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, greatest(length(txt) - 2, 1) + 1),
+                          i -> substr(txt, i::INT, 3)),
+           s -> length(s) = 3)) AS tris
+  FROM g
+),
+h AS (
+  SELECT doc_id,
+         len(list_intersect(tris, [{prof['en']}]))::INT AS ng_en,
+         len(list_intersect(tris, [{prof['es']}]))::INT AS ng_es,
+         len(list_intersect(tris, [{prof['de']}]))::INT AS ng_de,
+         len(list_intersect(tris, [{prof['fr']}]))::INT AS ng_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(ng_en, ng_es, ng_de, ng_fr) = 0 THEN 'und'
+            WHEN ng_en = greatest(ng_en, ng_es, ng_de, ng_fr) THEN 'en'
+            WHEN ng_es = greatest(ng_en, ng_es, ng_de, ng_fr) THEN 'es'
+            WHEN ng_de = greatest(ng_en, ng_es, ng_de, ng_fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang_ng,
+       ng_en, ng_es, ng_de, ng_fr
 FROM h ORDER BY doc_id
 """
 

@@ -162,6 +162,29 @@ def test_language_id_deterministic(spark):
     assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
 
 
+def test_language_id_ngram(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the thing of the morning is the finding"),
+            (2, "la acción de la nación que el mundo"),
+            (3, "die Verbindung der Geschichte und die Einrichtung"),
+            (4, "qqq"),
+            # subword evidence: zero whole stopwords, still classifiable
+            (5, "kings sing bringing things"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang_ng"] for r in
+           textstats.language_id_ngram(df, "text", "doc_id").collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de"
+    assert got[4] == "und" and got[5] == "en"
+    # the word-level heuristic returns 'und' on doc 5 — the trigram
+    # profiles are strictly more capable on short/subword-only input
+    word = {r["doc_id"]: r["pred_lang"] for r in
+            textstats.language_id(df, "text", "doc_id").collect()}
+    assert word[5] == "und"
+
+
 def test_token_counts_and_fingerprints(spark):
     df = spark.createDataFrame([(1, "Hello, world! hello")], "doc_id long, text string")
     tc = textstats.token_counts(df, "text", "doc_id").collect()[0]
