@@ -468,23 +468,35 @@ def build_segments(
     if not fs.exists(staging_manifest):
         t0 = time.time()
         timings: dict[str, float] = {}
-        # persist the tokenized pass: postings, docs table, and corpus
-        # stats all derive from it — without the persist the (expensive)
-        # tokenize would run three times. (A single-pass explode_outer +
-        # docs-from-staging-distinct variant was tried and measured WORSE
-        # at low core counts: the distinct is a full-staging shuffle,
-        # pricier than the persisted select.)
+        # SENTINEL-ROW staging (round 5): append one NUL sentinel token
+        # per doc AFTER doc_len is computed, so a single pipelined job
+        # (tokenize → explode → agg → partitionBy write) yields both the
+        # postings AND a bucket=-1 partition carrying one (doc_id[,
+        # field], doc_len) row per doc. The docs table and corpus stats
+        # then derive from a partition-pruned read of that tiny slice.
+        # This replaced tok.persist(): under Spark 4 AQE the cache
+        # materializes as its own TableCacheQueryStage barrier job (a
+        # measured 18s serial prefix of the staging phase at local[8],
+        # BENCH/BASELINE.md round 5) before the explode+agg even starts.
+        # NUL never survives any analyzer, so `term` ending in "\x00"
+        # uniquely marks sentinel rows; fielded builds append
+        # `field<FIELD_SEP>\x00` so the sentinel keeps its field.
         if fields:
-            from .fields import prefixed_field_tokenized
+            from .fields import FIELD_SEP, prefixed_field_tokenized
 
-            tok = prefixed_field_tokenized(corpus, fields, doc_col,
-                                           analyzer).persist()
+            tok = prefixed_field_tokenized(corpus, fields, doc_col, analyzer)
+            sent_tok = F.concat(F.col("field"), F.lit(FIELD_SEP + "\x00"))
         else:
-            tok = P.tokenized(corpus, text_col, doc_col, analyzer).persist()
+            tok = P.tokenized(corpus, text_col, doc_col, analyzer)
+            sent_tok = F.lit("\x00")
+        tok = tok.withColumn("tokens", F.concat("tokens", F.array(sent_tok)))
         post = (
             P.build_positional_postings(tok) if with_positions else P.build_postings(tok)
         ).withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            "bucket",
+            F.when(F.col("term").endswith("\x00"), F.lit(-1)).otherwise(
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+            ).cast("int"),
         ).withColumn(
             # dictionary id alongside the string: stage 2 reads ONLY the
             # 8-byte tid (parquet column pruning skips the strings) and
@@ -496,13 +508,13 @@ def build_segments(
         post.write.partitionBy("bucket").parquet(staging_dir)
         timings["staging_write"] = round(time.time() - t, 3)
 
-        # the three derived jobs are mutually independent once staging is
-        # committed and tok is cached — submit them CONCURRENTLY so their
-        # stage tails overlap instead of paying three sequential job
-        # latencies (a measured term of the per-build Amdahl constant)
+        # derived jobs: vocab-sized stats from the real buckets, docs +
+        # corpus stats from the sentinel partition — all partition-pruned
+        # reads of committed staging, submitted CONCURRENTLY so their
+        # stage tails overlap instead of paying sequential job latencies
         def job_stats():
             t = time.time()
-            staged = spark.read.parquet(staging_dir)
+            staged = spark.read.parquet(staging_dir).filter(F.col("bucket") >= 0)
             plan_block_counts(
                 P.term_stats(staged), target_block, nb_max
             ).withColumn(
@@ -525,13 +537,24 @@ def build_segments(
             )
             return bucket_postings, tids_unique, round(time.time() - t, 3)
 
+        def sentinel_rows():
+            # one row per (doc[, field]) from the pruned bucket=-1 slice
+            d = spark.read.parquet(staging_dir).filter(F.col("bucket") == -1)
+            if fields:
+                from .fields import FIELD_SEP
+
+                d = d.withColumn(
+                    "field", F.substring_index("term", FIELD_SEP, 1)
+                )
+            return d
+
         def job_docs() -> float:
             t = time.time()
             # docs table: exact N/avgdl bookkeeping, updated by deltas
             # (gen 0). Fielded builds keep the field column — one row per
             # (doc, field) — so ingest can maintain PER-FIELD stats.
             cols = ["doc_id"] + (["field"] if fields else []) + ["doc_len"]
-            tok.select(*cols).withColumn(
+            sentinel_rows().select(*cols).withColumn(
                 "gen", F.lit(0)
             ).withColumn("deleted", F.lit(False)).write.mode("overwrite").parquet(
                 pjoin(out_dir, "docs")
@@ -540,14 +563,20 @@ def build_segments(
 
         def job_cstats():
             t = time.time()
-            cs = P.corpus_stats(tok)
+            d = sentinel_rows()
+            row = d.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+            ).collect()[0]
+            cs = P.CorpusStats(
+                n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0)
+            )
             fstats = None
             if fields:
                 # per-field docCount/avgdl — the per-query scalar params
                 fstats = {
                     r["field"]: {"n_docs": int(r["n"]),
                                  "avgdl": float(r["avgdl"] or 0.0)}
-                    for r in tok.groupBy("field").agg(
+                    for r in d.groupBy("field").agg(
                         F.count(F.lit(1)).alias("n"),
                         F.avg("doc_len").alias("avgdl"),
                     ).collect()
@@ -563,7 +592,6 @@ def build_segments(
             bucket_postings, tids_unique, timings["stats_write"] = f_stats.result()
             timings["docs_write"] = f_docs.result()
             cs, field_stats, timings["corpus_stats"] = f_cstats.result()
-        tok.unpersist()
         timings["secs"] = round(time.time() - t0, 3)
         storage.write_json_atomic(
             fs,
@@ -622,9 +650,11 @@ def build_segments(
             }
         for i in missing:
             fs.rmtree(pjoin(out_dir, "segments", f"bucket={i}"))  # partial write
-        staged = spark.read.parquet(staging_dir)
-        if len(missing) < nb:  # resume: encode ONLY the missing buckets
-            staged = staged.filter(F.col("bucket").isin(missing))
+        # always filter to the missing buckets: directory pruning both
+        # scopes a resume AND excludes the sentinel bucket=-1 partition
+        staged = spark.read.parquet(staging_dir).filter(
+            F.col("bucket").isin(missing)
+        )
         nbs = spark.read.parquet(stats_path).select("term", "nb").withColumn(
             "tid", F.xxhash64("term")
         )
@@ -729,8 +759,17 @@ def build_segments(
             .parquet(pjoin(out_dir, "segments"))
         )
         encode_secs = round(time.time() - t2, 3)
-        if use_spill:  # derived data — the segments are committed
-            fs.rmtree(spill_dir)
+        if use_spill:
+            # derived data — the segments are committed, so clean up in
+            # the background: the rmtree of an O(10^4)-file spill dir is
+            # otherwise a flat driver-serial tail (~seconds) on every
+            # build, and a crash mid-cleanup is safe because the next
+            # stage 2 rmtree-s any stale spill dir before reusing it
+            import threading
+
+            threading.Thread(
+                target=fs.rmtree, args=(spill_dir,), daemon=True
+            ).start()
         for i in missing:
             seg_dir = pjoin(out_dir, "segments", f"bucket={i}")
             seg_files = (
