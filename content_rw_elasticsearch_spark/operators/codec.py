@@ -19,11 +19,15 @@ _U64_1 = np.uint64(1)
 _MASK7 = np.uint64(0x7F)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative uint64 array as a varbyte stream."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> "tuple[bytes, np.ndarray]":
+    """Encode a non-negative uint64 array as a varbyte stream; also return
+    the per-VALUE byte counts. The lengths let a caller that encoded many
+    logical lists in ONE pass (the round-5 whole-partition encoder,
+    segments._encode_groups) slice the stream back into per-list bytes —
+    cumsum(lengths) at list boundaries gives the byte offsets."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(a.size, dtype=np.int64)
     for j in range(1, 10):  # 64 bits / 7 = at most 10 groups
         nb += (a >= (_U64_1 << np.uint64(7 * j))).astype(np.int64)
@@ -36,7 +40,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte = ((a[mask] >> np.uint64(7 * i)) & _MASK7).astype(np.uint8)
         cont = (nb[mask] - 1 > i).astype(np.uint8) << 7
         out[idx] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative uint64 array as a varbyte stream."""
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
@@ -72,12 +81,14 @@ def delta_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
-def positions_encode(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
-    """Encode concatenated per-doc sorted token positions (doc boundaries
-    given by tfs): within-doc deltas (first position absolute) + varbyte."""
+def positions_encode_with_lengths(
+    flat_positions: np.ndarray, tfs: np.ndarray
+) -> "tuple[bytes, np.ndarray]":
+    """positions_encode + per-POSITION byte counts (see
+    varbyte_encode_with_lengths for why callers want the lengths)."""
     flat = np.ascontiguousarray(flat_positions, dtype=np.uint64)
     if flat.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     prev = np.empty_like(flat)
     prev[0] = 0
     prev[1:] = flat[:-1]
@@ -85,7 +96,13 @@ def positions_encode(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
     starts = np.zeros(flat.size, dtype=bool)
     starts[np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)] = True
     deltas[starts] = flat[starts]
-    return varbyte_encode(deltas)
+    return varbyte_encode_with_lengths(deltas)
+
+
+def positions_encode(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode concatenated per-doc sorted token positions (doc boundaries
+    given by tfs): within-doc deltas (first position absolute) + varbyte."""
+    return positions_encode_with_lengths(flat_positions, tfs)[0]
 
 
 def positions_decode(buf: bytes | bytearray | memoryview,

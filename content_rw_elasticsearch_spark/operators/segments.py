@@ -115,45 +115,43 @@ def plan_block_counts(stats: DataFrame, target_block: int = TARGET_BLOCK,
 GROUPS_PER_YIELD = 8192  # bound the size of each output Arrow batch
 
 
+def _slice_stream(buf: bytes, nb: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray) -> list:
+    """Slice one whole-partition varbyte stream into per-group ``bytes``.
+    ``starts``/``ends`` are POSTING indices; ``nb`` the per-posting byte
+    counts returned by codec.varbyte_encode_with_lengths."""
+    cum = np.zeros(nb.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum[1:])
+    bs, be = cum[starts], cum[ends]
+    return [buf[s:e] for s, e in zip(bs, be)]
+
+
 def _encode_groups(pdf: pd.DataFrame, with_positions: bool,
                    carry_cols: list[str]):
     """Shared encoder core: group a MATERIALIZED postings frame by
-    (term, salt) in numpy — factorize the term column (O(n) hash), pack
-    (term_code, salt) into one int64 key, stable-argsort it, slice groups
-    at key boundaries — and yield encoded segment-row DataFrames. Used by
-    both the shuffle-fed encoder (_encode_stream_fn) and the storage-
-    spill encoder (_encode_from_spill_fn)."""
+    (term, salt) and yield encoded segment-row DataFrames. Used by both
+    the shuffle-fed encoder (_encode_stream_fn) and the storage-spill
+    encoder (_encode_from_spill_fn).
 
-    def encode_rows(term, salt, nb, doc_ids, tfs, dls, plists, carry):
-        # nb is None when the caller ships the lean posting stream (nb is
-        # constant per term and restored block-side by the stats join —
-        # every column dropped here is posting-count × per-value
-        # boundary work saved)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order]
-        tfs = tfs[order]
-        dls = dls[order]
-        pos_vb = b""
-        if with_positions and plists is not None and doc_ids.size:
-            flat = np.concatenate(
-                [np.asarray(p, dtype=np.uint64) for p in plists[order]]
-            ) if len(plists) else np.empty(0, np.uint64)
-            if flat.size:
-                pos_vb = codec.positions_encode(flat, tfs)
-        row = {
-            "term": term, "salt": int(salt),
-            **({} if nb is None else {"nb": int(nb)}),
-            "count": int(doc_ids.size),
-            "max_tf": int(tfs.max()) if tfs.size else 0,
-            "min_dl": int(dls.min()) if dls.size else 1,
-            "docs_vb": codec.delta_encode(doc_ids),
-            "tfs_vb": codec.varbyte_encode(tfs),
-            "dlens_vb": codec.varbyte_encode(dls),
-            "pos_vb": pos_vb,
-        }
-        row.update(carry)
-        return row
+    Round-5 rewrite — WHOLE-PARTITION vectorized, no per-group calls:
+    one np.lexsort by (group key, doc_id) replaces the key argsort plus
+    a per-group doc_id argsort; each codec stream (doc gaps, tfs, dlens,
+    positions) is varbyte-encoded in ONE pass over all postings and then
+    sliced into per-group bytes via the per-value lengths
+    (codec.varbyte_encode_with_lengths); count/max_tf/min_dl come from
+    np.*.reduceat at group boundaries. The previous per-group form spent
+    its time in small-array numpy call overhead — measured 22x slower
+    than this at avg group size 5, 2.7x at 50, 1.3x at 500 (real code
+    corpora skew small: most identifiers are rare), and the overhead was
+    the L3-hostile part of the encode stage's poor CPU scaling
+    (BENCH/BASELINE.md (k)). Equivalence is pinned per-byte by
+    tests/test_encoder_vectorized.py against the per-group original.
 
+    Doc-gap encoding folds the per-group reset into the single pass: a
+    full diff of the sorted doc_ids, then gaps[group_starts] overwritten
+    with the absolute first id — the same trick positions_encode already
+    uses at doc boundaries (cross-group diffs may wrap; those slots are
+    always overwritten)."""
     # The (term_code << 20) | salt packing is exact only for salt < 2^20 —
     # build_segments validates nb_max at entry, and this guard catches any
     # caller that bypasses it (a silent overflow would MERGE two groups'
@@ -166,34 +164,71 @@ def _encode_groups(pdf: pd.DataFrame, with_positions: bool,
         )
     codes = pd.factorize(pdf["term"])[0].astype(np.int64)
     key = (codes << 20) | pdf["salt"].to_numpy(np.int64)
-    order = np.argsort(key, kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
+    # ONE stable sort by (key, doc_id) — last lexsort key is primary
+    order = np.lexsort((doc_ids, key))
     key_s = key[order]
     change = np.flatnonzero(key_s[1:] != key_s[:-1]) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [key_s.size]))
-    terms = pdf["term"].to_numpy(dtype=object)[order]
-    salts = pdf["salt"].to_numpy()[order]
-    nbs = pdf["nb"].to_numpy()[order] if "nb" in pdf.columns else None
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)[order]
+    doc_ids = doc_ids[order]
     tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
     dls = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
-    plists = (
-        pdf["positions"].to_numpy(dtype=object)[order]
-        if with_positions and "positions" in pdf.columns else None
-    )
+    terms = pdf["term"].to_numpy(dtype=object)[order]
+    salts = pdf["salt"].to_numpy()[order]
+    # nb is absent when the caller ships the lean posting stream (it is
+    # constant per term and restored block-side by the stats join)
+    nbs = pdf["nb"].to_numpy()[order] if "nb" in pdf.columns else None
     carries = {c: pdf[c].to_numpy()[order] for c in carry_cols}
-    for lo in range(0, starts.size, GROUPS_PER_YIELD):
-        out = [
-            encode_rows(
-                terms[s], salts[s], nbs[s] if nbs is not None else None,
-                doc_ids[s:e], tfs[s:e], dls[s:e],
-                plists[s:e] if plists is not None else None,
-                {c: carries[c][s] for c in carry_cols},
-            )
-            for s, e in zip(starts[lo:lo + GROUPS_PER_YIELD],
-                            ends[lo:lo + GROUPS_PER_YIELD])
-        ]
-        yield pd.DataFrame(out)
+
+    n = doc_ids.size
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+        gaps[starts] = doc_ids[starts]
+    docs_buf, docs_nb = codec.varbyte_encode_with_lengths(gaps)
+    tfs_buf, tfs_nb = codec.varbyte_encode_with_lengths(tfs)
+    dls_buf, dls_nb = codec.varbyte_encode_with_lengths(dls)
+    docs_vb = _slice_stream(docs_buf, docs_nb, starts, ends)
+    tfs_vb = _slice_stream(tfs_buf, tfs_nb, starts, ends)
+    dls_vb = _slice_stream(dls_buf, dls_nb, starts, ends)
+
+    counts = (ends - starts).astype(np.int64)
+    max_tf = np.maximum.reduceat(tfs, starts).astype(np.int64)
+    min_dl = np.minimum.reduceat(dls, starts).astype(np.int64)
+
+    if with_positions and "positions" in pdf.columns and n:
+        plists = pdf["positions"].to_numpy(dtype=object)[order]
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.uint64) for p in plists]
+        ) if n else np.empty(0, np.uint64)
+        pos_buf, pos_nb = codec.positions_encode_with_lengths(flat, tfs)
+        # posting index -> flat-position index via cumsum(tfs), then to
+        # byte offsets via cumsum of the per-position byte counts
+        tf_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs.astype(np.int64), out=tf_cum[1:])
+        byte_cum = np.zeros(flat.size + 1, dtype=np.int64)
+        np.cumsum(pos_nb, out=byte_cum[1:])
+        bs = byte_cum[tf_cum[starts]]
+        be = byte_cum[tf_cum[ends]]
+        pos_vb = [pos_buf[s:e] for s, e in zip(bs, be)]
+    else:
+        pos_vb = [b""] * starts.size
+
+    cols: dict = {"term": terms[starts],
+                  "salt": salts[starts].astype(np.int64)}
+    if nbs is not None:
+        cols["nb"] = nbs[starts].astype(np.int64)
+    cols.update({
+        "count": counts, "max_tf": max_tf, "min_dl": min_dl,
+        "docs_vb": docs_vb, "tfs_vb": tfs_vb, "dlens_vb": dls_vb,
+        "pos_vb": pos_vb,
+    })
+    for c in carry_cols:
+        cols[c] = carries[c][starts]
+    out = pd.DataFrame(cols)
+    for lo in range(0, len(out), GROUPS_PER_YIELD):
+        yield out.iloc[lo:lo + GROUPS_PER_YIELD]
 
 
 def _encode_stream_fn(with_positions: bool = False,
@@ -350,10 +385,6 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
     )
 
 
-ESPILL_MIN_POSTINGS = 5_000_000  # below this the extra materialization
-# costs more than the Arrow boundary it saves (an sf0.1 build is ~120k
-# postings; the 3M-doc scaling corpus is ~270M) — and keeping small
-# builds on the shuffle path keeps both paths continuously exercised
 
 
 def encode_segments_spill(salted: DataFrame, spill_dir: str,
@@ -684,16 +715,14 @@ def build_segments(
         pos_cols = ["positions"] if stage1.get("positions", False) else []
         est_missing = sum(bucket_postings.get(i, 0) for i in missing)
         choice = encode_path or os.environ.get("SPARK_GRAFT_ENCODE_PATH")
-        # the spill route needs (a) the lean tid stream (string fallback
-        # is the ~never collision case) and (b) a spill dir the python
-        # workers can read via pyarrow — auto only trusts plain local/
-        # shared-mount paths, not URI schemes
-        use_spill = use_ids and (
-            choice == "spill"
-            or (choice in (None, "auto")
-                and est_missing >= ESPILL_MIN_POSTINGS
-                and "://" not in out_dir)
-        )
+        # Inline-first: the same-window A/B at 3M docs (BENCH/BASELINE.md
+        # (k)) measured the spill route at parity at 8 cores and 6-21%
+        # SLOWER at 2 — the Arrow input boundary it removes was already
+        # pipelined behind the python encoder. Spill is an explicit
+        # election for memory-bound deployments (the pandas encoder
+        # cannot spill mid-partition); it also needs the lean tid stream
+        # and a spill dir pyarrow can read (plain paths, no URI schemes).
+        use_spill = use_ids and choice == "spill"
         spill_dir = pjoin(out_dir, "espill")
         if use_ids:
             if "tid" not in staged.columns:  # staging from a pre-tid build
