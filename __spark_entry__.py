@@ -203,11 +203,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash join", field="body", k=10, mode="AND")
     # the PERSISTED fielded index (composite field\x1fterm segment store,
     # per-field manifest norms) — same oracle as the in-memory fielded
-    # path: at-rest field scoping must be rank-identical to the logical
-    out["segment_field_title"] = lambda s, d: _fielded_segment_index_for(
-        s, d).search("hash join", field="title", k=10, mode="AND")
-    out["segment_field_body"] = lambda s, d: _fielded_segment_index_for(
-        s, d).search("hash join", field="body", k=10, mode="AND")
+    # path: at-rest field scoping must be rank-identical to the logical.
+    # Both field shapes union-gated in ONE query (50-query cap; same
+    # consolidation as phrase_matches) — r5 freed the second slot for
+    # dedup_embedding_cosine.
+    def _segment_fielded(spark, sf_dir):
+        from pyspark.sql import functions as F
+        idx = _fielded_segment_index_for(spark, sf_dir)
+        a = idx.search("hash join", field="title", k=10, mode="AND"
+                       ).withColumn("field", F.lit("title"))
+        b = idx.search("hash join", field="body", k=10, mode="AND"
+                       ).withColumn("field", F.lit("body"))
+        return a.unionByName(b)
+
+    out["segment_fielded"] = _segment_fielded
 
     # both phrase shapes in one gated query (see the 50-query cap note)
     def _phrase_matches(spark, sf_dir):
@@ -290,13 +299,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "text", "doc_id", n=3, tau=0.8)
     out["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         _docs(s, d), "text", "doc_id", max_hamming=3)
+
+    # embedding-cosine near-dup (fifth dedup flavor): multi-table LSH
+    # candidates + exact-cosine verify. Seeded like dedup_exact_groups —
+    # every 20th embedding duplicated under vec_id+1e6 — so the gate
+    # checks nonzero cos-1.0 pairs; the oracle SQL seeds identically.
+    def _dedup_emb(s, d):
+        from pyspark.sql import functions as F
+        emb = _emb(s, d).select("vec_id", "embedding")
+        dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+        return dedup.embedding_near_dup_pairs(
+            emb.unionByName(dup), tau=0.9, dim=EMBEDDING_DIM)
+
+    out["dedup_embedding_cosine"] = _dedup_emb
     out["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5)
     out["sim_ann_lsh_topk"] = lambda s, d: similarity.ann_lsh_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
-    out["sim_ann_multiprobe_topk"] = lambda s, d: similarity.ann_multiprobe_topk(
-        s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
-    out["sim_ann_multitable_topk"] = lambda s, d: similarity.ann_multitable_topk(
+    # both probe-expansion ANN shapes union-gated in ONE query (50-query
+    # cap; same consolidation as phrase_matches/segment_fielded) — the
+    # disjoint variant column keeps each operator's rows hash-gated.
+    # Freed slot goes to sim_ann_ivf_topk (the centroid-bucketed family).
+    def _sim_ann_probes(s, d):
+        from pyspark.sql import functions as F
+        mp = similarity.ann_multiprobe_topk(
+            s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM
+        ).withColumn("variant", F.lit("multiprobe"))
+        mt = similarity.ann_multitable_topk(
+            s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM
+        ).withColumn("variant", F.lit("multitable"))
+        return mp.unionByName(mt)
+
+    out["sim_ann_probes"] = _sim_ann_probes
+    out["sim_ann_ivf_topk"] = lambda s, d: similarity.ann_ivf_topk(
         s, _emb(s, d), ANN_QUERY_IDS, k=5, dim=EMBEDDING_DIM)
     # all four text-analysis operators in one doc_id-joined gated query
     # (50-query cap): each operator's columns are disjoint, so the value
@@ -339,9 +375,12 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_field_body"] = fielded_bm25_sql(
         FIELD_EXPRS_SQL, "hash join", field="body", k=10, mode="AND")
     # at-rest fielded path: SAME oracle — persisted field scoping must be
-    # rank-identical to the logical fielded plan
-    out["segment_field_title"] = out["bm25_field_title"]
-    out["segment_field_body"] = out["bm25_field_body"]
+    # rank-identical to the logical fielded plan (both shapes union-gated)
+    out["segment_fielded"] = (
+        "SELECT *, 'title' AS field FROM (" + out["bm25_field_title"]
+        + ") UNION ALL SELECT *, 'body' AS field FROM ("
+        + out["bm25_field_body"] + ")"
+    )
     out["phrase_matches"] = (
         "SELECT *, 'hash join' AS phrase FROM ("
         + oracle.phrase_match_sql("hash join")
@@ -391,11 +430,18 @@ GROUP BY content_sha HAVING count(*) > 1 ORDER BY content_sha
     # oracle is an independent pure-Python brute-force replay materialized
     # as a VALUES golden table (pinned to the driver's sf0.01 scale)
     out["dedup_simhash"] = dedup.simhash_pairs_sql(max_hamming=3)
+    out["dedup_embedding_cosine"] = dedup.embedding_near_dup_pairs_sql(
+        dim=EMBEDDING_DIM, tau=0.9, seed_every=20)
     out["sim_cosine_topk"] = similarity.cosine_topk_sql(ANN_QUERY_IDS, k=5)
     out["sim_ann_lsh_topk"] = similarity.ann_lsh_topk_sql(64, ANN_QUERY_IDS, k=5)
-    out["sim_ann_multiprobe_topk"] = similarity.ann_multiprobe_topk_sql(
-        64, ANN_QUERY_IDS, k=5)
-    out["sim_ann_multitable_topk"] = similarity.ann_multitable_topk_sql(
+    out["sim_ann_probes"] = (
+        "SELECT *, 'multiprobe' AS variant FROM ("
+        + similarity.ann_multiprobe_topk_sql(64, ANN_QUERY_IDS, k=5)
+        + ") UNION ALL SELECT *, 'multitable' AS variant FROM ("
+        + similarity.ann_multitable_topk_sql(EMBEDDING_DIM, ANN_QUERY_IDS, k=5)
+        + ")"
+    )
+    out["sim_ann_ivf_topk"] = similarity.ann_ivf_topk_sql(
         EMBEDDING_DIM, ANN_QUERY_IDS, k=5)
     out["text_profile"] = (
         "SELECT * FROM (" + textstats.token_counts_sql() + ") a JOIN ("

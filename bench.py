@@ -129,7 +129,13 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
     else:
         master = f"local[{cpus}]"
     spark = get_spark(
-        app_name="bench", master=master, shuffle_partitions=shuffle_parts
+        app_name="bench", master=master, shuffle_partitions=shuffle_parts,
+        # the contract is ONE JSON line on stdout, parsed by the external
+        # driver. JVM unified logging writes to STDOUT asynchronously (a
+        # GCLocker-retry warning was observed landing AFTER the JSON line,
+        # which a last-line parse reads instead of the result) — disable
+        # it for bench sessions so nothing else can reach stdout
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     if synth_docs:

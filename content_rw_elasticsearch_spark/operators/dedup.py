@@ -372,3 +372,111 @@ SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2, CAST(h AS INT) AS ham
 FROM (VALUES {vals}) AS t(d1, d2, h)
 ORDER BY d1, d2
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the fifth dedup flavor)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, tau: float = 0.9, n_tables: int = 4, n_planes: int = 8,
+    seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= tau, found via a
+    multi-table random-hyperplane LSH candidate join (never all-pairs).
+
+    Reference scope: the reference delegates similarity entirely to
+    Elasticsearch; this is the training-data-pipeline analog of its
+    duplicate-suppression role, over an ``array<float>`` column.
+
+    Scale design (100 TB):
+      * ONE corpus scan — per-table buckets come from posexplode over an
+        array of sign-bucket expressions (JVM columnar, no UDF), so the
+        source is read once however many tables there are.
+      * the self-join shuffles on (table, bucket) — hash-uniform unless a
+        bucket is genuinely dense with near-identical vectors; exact
+        cosine is computed ONLY for bucket-colliding candidate pairs.
+      * recall follows the LSH-forest model: a pair at angle theta
+        collides in one table with p(theta)^n_planes (p = 1 - theta/pi)
+        and is found with 1 - (1 - p^n_planes)^n_tables; identical
+        vectors (cos 1.0) are found with probability 1. Precision is
+        exact — candidates are verified by true cosine.
+    """
+    from . import similarity as sim
+
+    dim = sim._dim_of(emb, vec_col, dim)
+    base = emb.select(
+        F.col(id_col).alias("vid"), sim._as_double(F.col(vec_col)).alias("v")
+    )
+    buckets = F.array(*[
+        sim._bucket_expr(F.col("v"), sim.hyperplanes(dim, n_planes, seed + t))
+        for t in range(n_tables)
+    ])
+    bucketed = base.select(
+        "vid", "v", F.posexplode(buckets).alias("tbl", "bucket"))
+    left = bucketed.select(
+        "tbl", "bucket", F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    right = bucketed.select(
+        "tbl", "bucket", F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    cos = sim._dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(sim._dot(F.col("va"), F.col("va")))
+        * F.sqrt(sim._dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, sim.ROUND).alias("cos"))
+        .filter(F.col("cos") >= tau)
+        .distinct()  # the same pair collides in several tables
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    dim: int = 64, tau: float = 0.9, n_tables: int = 4, n_planes: int = 8,
+    seed: int = 7, seed_every: int = 20,
+) -> str:
+    """Oracle replay: identical literal hyperplanes -> identical buckets ->
+    identical candidate set, so the LSH's recall model cancels out of the
+    comparison (same construction as similarity.ann_lsh_topk_sql). The
+    input is seeded like the queries() entry: every ``seed_every``-th
+    embedding duplicated under vec_id + 1e6 so the gate checks nonzero
+    cos-1.0 groups rather than passing vacuously (VERDICT r4 #3)."""
+    from . import similarity as sim
+
+    selects = []
+    for t in range(n_tables):
+        planes = sim.hyperplanes(dim, n_planes, seed + t)
+        bucket_terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {p!r}::DOUBLE[]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(f"SELECT vid, v, {t} AS tbl, {bucket_terms} AS bucket FROM base")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % {seed_every} = 0
+),
+base AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM emb2),
+bucketed AS ({union}),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vid < b.vid
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), {sim.ROUND}) AS cos
+  FROM cand
+  JOIN base x ON x.vid = cand.id_a
+  JOIN base y ON y.vid = cand.id_b
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {tau} ORDER BY id_a, id_b
+"""

@@ -355,3 +355,235 @@ FROM scored
 QUALIFY rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed complement to the LSH
+# family above, per the task brief's "IVF or LSH-bucketed variant".
+# ---------------------------------------------------------------------------
+
+CENTROID_ROUND = 6   # quantize centroids each iteration: makes the Spark
+# training loop and the pure-numpy oracle replay bit-identical (float sum
+# order differs between Spark's avg and numpy's mean at ~1e-13; rounding
+# to 1e-6 absorbs it — same trick as hyperplanes())
+ASSIGN_ROUND = 9     # quantize assignment scores before the argmax so a
+# ~1e-13 cross-engine cosine difference cannot flip a cluster assignment
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's ROUND (HALF_UP, away from zero) — numpy/python round() is
+    banker's (HALF_EVEN), which would disagree on exact .5 boundaries."""
+    import math
+
+    p = 10.0 ** nd
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
+def _cos_scores_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of round(cos(vec, c_j), ASSIGN_ROUND) per centroid."""
+    vnorm = F.sqrt(_dot(vec, vec))
+    scores = []
+    for c in centroids:
+        carr = F.array(*[F.lit(w) for w in c])
+        cn = float(np.sqrt(np.dot(c, c)))
+        scores.append(F.round(_dot(vec, carr) / (vnorm * F.lit(cn)), ASSIGN_ROUND))
+    return F.array(*scores)
+
+
+def _cluster_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax_j cos(vec, c_j), first-wins on (rounded) ties — mirrors
+    numpy argmax in the oracle replay."""
+    scores = _cos_scores_expr(vec, centroids)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_centroids(
+    spark: SparkSession, emb: DataFrame, k_clusters: int = 8, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
+) -> list[list[float]]:
+    """Train IVF centroids with ``iters`` Lloyd iterations of spherical
+    k-means (assign by cosine, update by coordinate mean), entirely as
+    DataFrame jobs — one groupBy-agg job per iteration, no explode: the
+    per-coordinate means are ``dim`` columnar avg() expressions.
+
+    Determinism/replayability: init is the ``k_clusters`` lowest-id
+    vectors; every centroid coordinate is rounded to CENTROID_ROUND after
+    init and after each update, so an independent numpy replay
+    (_ivf_replay_py) reproduces the training bit-for-bit — that replay IS
+    the DuckDB oracle's centroid source. Empty clusters keep their
+    previous centroid (numpy replay does the same).
+
+    Scale: each iteration is one scan + one k_clusters-row aggregate
+    (map-side partial, broadcastable result). At 100 TB you train on a
+    sample (emb.sample(...)) — centroid quality needs only a bounded
+    sample, and assignment of the full corpus happens once at index time
+    with the trained literals (ann_ivf_topk / the bucket partition key).
+    """
+    dim = _dim_of(emb, vec_col, dim)
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    init = base.orderBy("vid").limit(k_clusters).collect()
+    cents = [[_round_half_up(float(x), CENTROID_ROUND) for x in r["v"]]
+             for r in init]
+    for _ in range(iters):
+        assigned = base.withColumn("cluster", _cluster_expr(F.col("v"), cents))
+        rows = assigned.groupBy("cluster").agg(
+            *[F.round(F.avg(F.col("v")[i]), CENTROID_ROUND).alias(f"c{i}")
+              for i in range(dim)]
+        ).collect()
+        new = {int(r["cluster"]): [float(r[f"c{i}"]) for i in range(dim)]
+               for r in rows}
+        cents = [new.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+def ann_ivf_topk(
+    spark: SparkSession, emb: DataFrame, query_ids: list[int], k: int = 5,
+    k_clusters: int = 8, n_probe: int = 2, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: vectors are bucketed by nearest trained centroid
+    (the inverted file); a query scans only its ``n_probe`` nearest
+    centroids' buckets, scored by exact cosine (precision exact, recall
+    approximate like every IVF index — FAISS IndexIVFFlat semantics).
+    With n_probe == k_clusters the probe set covers every bucket and the
+    result provably equals exhaustive brute force (pinned by test).
+
+    Physical shape at scale: ``cluster`` is the at-rest partition key
+    (like the LSH variants' bucket); the probe list is built on the
+    broadcast query side (n_probe ids via one array_sort over k_clusters
+    scores), so the big side is touched only via partition-prunable
+    equality on its cluster column. No dedupe stage — clusters partition
+    the space, probes are disjoint."""
+    dim = _dim_of(emb, vec_col, dim)
+    if centroids is None:
+        centroids = ivf_centroids(
+            spark, emb, k_clusters, iters, id_col, vec_col, dim)
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cluster", _cluster_expr(F.col("v"), centroids))
+    # top-n_probe centroid ids per query: sort ([-score, idx]) structs asc
+    # == score desc with first-wins (lower idx) ties, matching the replay
+    scores = _cos_scores_expr(F.col("qv"), centroids)
+    ranked = F.array_sort(F.transform(
+        scores,
+        lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")),
+    ))
+    q = (
+        base.filter(F.col("neighbor_id").isin(query_ids))
+        .select(F.col("neighbor_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("probe", F.explode(F.slice(ranked, 1, n_probe)["idx"]))
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        base.join(F.broadcast(q), F.col("cluster") == F.col("probe"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, ROUND).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_replay_py(
+    vecs: "dict[int, np.ndarray]", k_clusters: int, iters: int,
+) -> list[list[float]]:
+    """Independent numpy replay of ivf_centroids (the oracle's trainer):
+    same init (lowest ids), same cosine argmax with ASSIGN_ROUND
+    quantization and first-wins ties, same CENTROID_ROUND half-up
+    quantization of the coordinate means, same empty-cluster carry."""
+    ids = sorted(vecs)
+    cents = [np.array([_round_half_up(float(x), CENTROID_ROUND)
+                       for x in vecs[i]]) for i in ids[:k_clusters]]
+    for _ in range(iters):
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for i in ids:
+            v = vecs[i]
+            vn = float(np.sqrt(v @ v))
+            sc = [
+                _round_half_up(float(v @ c / (vn * np.sqrt(c @ c))), ASSIGN_ROUND)
+                for c in cents
+            ]
+            j = int(np.argmax(sc))
+            sums[j] = sums.get(j, np.zeros_like(v)) + v
+            counts[j] = counts.get(j, 0) + 1
+        cents = [
+            np.array([_round_half_up(float(x), CENTROID_ROUND)
+                      for x in sums[j] / counts[j]])
+            if j in counts else cents[j]
+            for j in range(len(cents))
+        ]
+    return [[float(x) for x in c] for c in cents]
+
+
+def ann_ivf_topk_sql(
+    dim: int, query_ids: list[int], k: int = 5, k_clusters: int = 8,
+    n_probe: int = 2, iters: int = 3, sf_dir: str | None = None,
+) -> str:
+    """Oracle for ann_ivf_topk: training is replayed by the independent
+    numpy trainer (_ivf_replay_py) over the driver's own parquet — the
+    iterative Lloyd loop is not expressible in the driver's SQL subset —
+    and the SEARCH phase (assignment, probe selection, scoring, top-k)
+    runs natively in DuckDB against those literal centroids, exactly like
+    the LSH oracles replay literal hyperplanes."""
+    import os
+
+    import duckdb
+
+    sf = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {int(i): np.asarray(v, dtype=np.float64) for i, v in rows}
+    cents = _ivf_replay_py(vecs, k_clusters, iters)
+    ids = ", ".join(str(i) for i in query_ids)
+
+    def cos_sql(c: list[float]) -> str:
+        cn = float(np.sqrt(np.dot(c, c)))
+        return (f"round(list_dot_product(v, {c!r}::DOUBLE[])"
+                f" / (sqrt(list_dot_product(v, v)) * {cn!r}), {ASSIGN_ROUND})")
+
+    score_list = "[" + ", ".join(cos_sql(c) for c in cents) + "]"
+    # unrolled [(−score_j, j)] struct list: list-comprehension-free (binder
+    # scoping of comprehensions over lateral columns is DuckDB-fragile)
+    struct_list = "[" + ", ".join(
+        f"{{'neg': -cscores[{j + 1}], 'idx': {j}}}" for j in range(len(cents))
+    ) + "]"
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored_base AS (
+  SELECT vec_id, v, {score_list} AS cscores FROM base
+),
+clustered AS (
+  SELECT vec_id, v, CAST(list_position(cscores, list_max(cscores)) - 1 AS INT) AS cluster
+  FROM scored_base
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, u.probe
+  FROM scored_base,
+       LATERAL unnest(list_transform(
+         list_slice(list_sort({struct_list}), 1, {n_probe}),
+         s -> s.idx)) AS u(probe)
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+               {ROUND}) AS cos
+  FROM clustered b JOIN q ON b.cluster = q.probe
+  WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""

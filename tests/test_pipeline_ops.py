@@ -215,3 +215,79 @@ def test_multimodal_payload_sha_invariant(docs_df):
     import hashlib
     for r in media.collect():
         assert hashlib.sha256(bytes(r["payload"])).hexdigest() == r["payload_sha"]
+
+
+def test_embedding_near_dup_identical_pair_found(spark):
+    """An identical vector pair (cos 1.0) collides in every LSH table, so
+    the candidate join MUST surface it — recall 1.0 for exact dups."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[3][1])))  # exact dup of vec 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = dedup.embedding_near_dup_pairs(
+        df, tau=0.999, n_tables=2, n_planes=4, dim=8).collect()
+    assert (3, 100) in {(r["id_a"], r["id_b"]) for r in got}
+    byp = {(r["id_a"], r["id_b"]): r["cos"] for r in got}
+    assert byp[(3, 100)] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_embedding_near_dup_precision_exact(spark, emb_df):
+    """Every emitted pair really has cosine >= tau (candidates are
+    verified by true cosine — LSH affects recall only, never precision)."""
+    got = dedup.embedding_near_dup_pairs(emb_df, tau=0.9, dim=64).collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb_df.collect()}
+    for r in got:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert round(cos, 4) >= 0.9
+        assert r["cos"] == pytest.approx(cos, abs=1e-3)
+    # and the LSH result is a subset of the brute-force truth
+    ids = sorted(vecs)
+    brute = {(ids[i], ids[j]) for i in range(len(ids))
+             for j in range(i + 1, len(ids))
+             if round(float(vecs[ids[i]] @ vecs[ids[j]]
+                            / (np.linalg.norm(vecs[ids[i]])
+                               * np.linalg.norm(vecs[ids[j]]))), 4) >= 0.9}
+    assert {(r["id_a"], r["id_b"]) for r in got} <= brute
+
+
+def test_ivf_centroids_match_numpy_replay(spark, emb_df):
+    """The Spark Lloyd loop (ivf_centroids) and the independent numpy
+    trainer (_ivf_replay_py — the oracle's centroid source) must agree
+    bit-for-bit: both quantize centroids to CENTROID_ROUND and assignment
+    scores to ASSIGN_ROUND each iteration, so float sum-order differences
+    cannot diverge the training."""
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb_df.collect()}
+    got = similarity.ivf_centroids(spark, emb_df, k_clusters=4, iters=2, dim=64)
+    want = similarity._ivf_replay_py(vecs, k_clusters=4, iters=2)
+    assert got == want
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb_df):
+    """With n_probe == k_clusters every bucket is probed, so IVF must be
+    EXACTLY exhaustive brute force — the recall loss is the probe subset,
+    never the bucketing itself."""
+    qids = [0, 7, 42]
+    ivf = similarity.ann_ivf_topk(
+        spark, emb_df, qids, k=5, k_clusters=4, n_probe=4, iters=2,
+        dim=64).collect()
+    brute = similarity.cosine_topk(spark, emb_df, qids, k=5).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in brute]
+
+
+def test_ivf_precision_exact(spark, emb_df):
+    """Default-probe IVF: every returned cos is the true cosine (verify
+    by numpy) — IVF affects recall only, never precision."""
+    qids = [0, 7]
+    got = similarity.ann_ivf_topk(spark, emb_df, qids, k=5, dim=64).collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb_df.collect()}
+    assert len(got) > 0
+    for r in got:
+        qv, v = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        cos = round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 4)
+        assert r["cos"] == cos
