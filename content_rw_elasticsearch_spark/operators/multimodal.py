@@ -150,3 +150,129 @@ SELECT media_type, count(*)::BIGINT AS n, sum(n_bytes)::BIGINT AS total_bytes,
        min(n_bytes)::BIGINT AS min_bytes, max(n_bytes)::BIGINT AS max_bytes
 FROM media GROUP BY media_type ORDER BY media_type
 """
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("payload_sha", StringType()),
+    ]
+)
+
+
+def resize_images_stub(payload: bytes, w: int, h: int,
+                       deterministic_fake: bool) -> bytes:
+    """STUB: real impl is PIL Image.resize((w, h)) → re-encode. The
+    deterministic fake tiles/truncates the payload to exactly w*h bytes
+    (one fake byte per output pixel) so output SIZE behaves like a real
+    resize — downstream partition-size planning is exercisable — and the
+    bytes are a pure function of (payload, w, h) so tests pin shas."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resize requires an image library not present in this "
+            "environment; pass deterministic_fake=True for the test fake"
+        )
+    n = w * h
+    if not payload:
+        return b"\x00" * n
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_images(media: DataFrame, w: int, h: int,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """Batch resize over binary image payloads (the brief's resize slot):
+    mapInPandas, one Python call per Arrow batch, no shuffle — pure map,
+    embarrassingly parallel at any corpus size. Output payload size is
+    w*h per row, so `spark.sql.files.maxPartitionBytes` sizing for the
+    downstream write is computable up front (rows_per_task ≈
+    maxPartitionBytes / (w*h)) — the real 100 TB concern this operator's
+    plumbing has to get right, independent of the decode library."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_images_stub(
+                    p if isinstance(p, bytes) else bytes(p), w, h,
+                    deterministic_fake)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": np.full(len(out), w, dtype=np.int32),
+                    "height": np.full(len(out), h, dtype=np.int32),
+                    "payload": out,
+                    "payload_sha": [hashlib.sha256(b).hexdigest() for b in out],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  frame_bytes: int = 256,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """Frame sampling over video payloads (the brief's frame-sample slot):
+    ONE input row fans out to MANY frame rows inside mapInPandas — the
+    Spark-side shape that matters (a pandas-UDF cannot change cardinality;
+    mapInPandas can), with Arrow batches bounding how many blobs a worker
+    holds. Still a pure map: no shuffle, frames inherit the input's
+    partitioning, and a downstream repartition by media_id (only if a
+    per-video gather is needed) is the caller's explicit choice.
+
+    The decode/demux is STUBBED like the rest of this module (no libav in
+    the sandbox): the deterministic fake derives a frame count from the
+    payload size (≈ one frame per every_ms-worth of fake 1 KB/s "video")
+    and each frame's bytes from (payload, frame_idx), so cardinality and
+    shas are test-pinnable. Real impl: av.open → seek/decode keyframes."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "frame sampling requires a video library not present in this "
+            "environment; pass deterministic_fake=True for the test fake"
+        )
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames, shas = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = p if isinstance(p, bytes) else bytes(p)
+                # fake duration: 1 byte ≈ 1 ms of video, ≥1 frame per clip
+                n_frames = max(1, len(payload) // max(1, every_ms))
+                for i in range(n_frames):
+                    fb = resize_images_stub(
+                        payload[i % max(1, len(payload)):] or b"\x00",
+                        frame_bytes, 1, True)
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(fb)
+                    shas.append(hashlib.sha256(fb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                    "frame_sha": shas,
+                }
+            )
+
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -291,3 +291,48 @@ def test_ivf_precision_exact(spark, emb_df):
         qv, v = vecs[r["query_id"]], vecs[r["neighbor_id"]]
         cos = round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 4)
         assert r["cos"] == cos
+
+
+def test_resize_images_deterministic(spark, docs_df):
+    """Resize plumbing: exact w*h output bytes per row, sha pinned to the
+    pure function of (payload, w, h) — re-running yields identical rows."""
+    import hashlib
+
+    from content_rw_elasticsearch_spark.operators import multimodal as mm
+
+    media = mm.media_from_documents(docs_df.limit(20))
+    out = mm.resize_images(media, w=8, h=4).collect()
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(out) == 20
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        b = bytes(r["payload"])
+        assert len(b) == 32
+        assert b == mm.resize_images_stub(src[r["media_id"]], 8, 4, True)
+        assert hashlib.sha256(b).hexdigest() == r["payload_sha"]
+
+
+def test_sample_frames_cardinality_and_shas(spark, docs_df):
+    """Frame sampling fans ONE video row out to len(payload)//every_ms
+    frame rows (>=1) with pinned shas — the mapInPandas cardinality-change
+    shape a plain pandas_udf cannot express."""
+    import hashlib
+
+    from content_rw_elasticsearch_spark.operators import multimodal as mm
+
+    media = mm.media_from_documents(docs_df.limit(30))
+    vids = {r["media_id"]: bytes(r["payload"])
+            for r in media.filter("media_type = 'video'").collect()}
+    assert vids, "limit(30) must contain doc_id % 3 == 2 rows"
+    out = mm.sample_frames(media, every_ms=500, frame_bytes=16).collect()
+    by_vid: dict = {}
+    for r in out:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert set(by_vid) == set(vids)
+    for mid, rows in by_vid.items():
+        assert len(rows) == max(1, len(vids[mid]) // 500)
+        rows.sort(key=lambda r: r["frame_idx"])
+        for i, r in enumerate(rows):
+            assert r["frame_idx"] == i and r["ts_ms"] == i * 500
+            assert len(bytes(r["frame"])) == 16
+            assert hashlib.sha256(bytes(r["frame"])).hexdigest() == r["frame_sha"]
