@@ -180,3 +180,57 @@ def test_stream_ingest_microbatches(spark, tmp_path):
     assert set(_ids(idx.search("streamterm", k=10))) == {8_888_001, 8_888_002}
     assert idx.n_docs == 122
     shutil.rmtree(path)
+
+
+def test_streaming_dedup_first_wins_state(spark, tmp_path):
+    """applyInPandasWithState dedup: the first occurrence of a content
+    fingerprint wins FOREVER — a duplicate arriving in a LATER microbatch
+    is suppressed by per-key state (not just batch-local distinct), and
+    the re-emitted row carries the updated suppressed count."""
+    from content_rw_elasticsearch_spark.streaming import stateful
+
+    src = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    # batch 1: doc 1 ("aa"), doc 2 ("bb"), doc 3 ("aa" — in-batch dup)
+    spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1")
+    # batch 2: doc 4 ("aa" — CROSS-batch dup), doc 5 ("cc" — new)
+    spark.createDataFrame(
+        [(4, "aa"), (5, "cc")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b2")
+    # FileStreamSource orders batches by file mtime: pin b1 strictly
+    # earlier so cross-batch suppression is tested deterministically
+    import os as _os
+    import time as _time
+    now = _time.time()
+    for d, ts in ((src + "/b1", now - 60), (src + "/b2", now)):
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (ts, ts))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stateful.streaming_dedup_first_wins(stream)
+        .writeStream.format("memory").queryName("dd_sink")
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dd_sink").collect()
+    # latest state per sha = the LAST row emitted for it
+    latest = {}
+    for r in rows:
+        latest[r["content_sha"]] = (r["doc_id"], r["n_suppressed"])
+    import hashlib
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    # "aa": first=1 (in-batch tie 1<3), suppressed = 2 (doc 3, then doc 4)
+    assert latest[sha("aa")] == (1, 2)
+    assert latest[sha("bb")] == (2, 0)
+    assert latest[sha("cc")] == (5, 0)
+    # cross-batch suppression really happened across TWO emissions
+    aa_rows = [r for r in rows if r["content_sha"] == sha("aa")]
+    assert len(aa_rows) == 2 and {r["n_suppressed"] for r in aa_rows} == {1, 2}
