@@ -33,7 +33,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # env-overridable for A/B (BENCH/BASELINE.md (l)): the encode
+        # boundary ships lean 5-col int rows, where larger batches
+        # amortize per-batch Arrow framing without meaningful memory cost
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         # force the serialized sort-based shuffle writer even at the
         # sandbox's ~120 shuffle partitions. Below the default threshold
         # (200) Spark picks BypassMergeSortShuffleWriter — one open
