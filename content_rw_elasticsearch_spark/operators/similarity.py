@@ -371,12 +371,22 @@ ASSIGN_ROUND = 9     # quantize assignment scores before the argmax so a
 
 
 def _round_half_up(x: float, nd: int) -> float:
-    """Spark's ROUND (HALF_UP, away from zero) — numpy/python round() is
-    banker's (HALF_EVEN), which would disagree on exact .5 boundaries."""
-    import math
+    """Spark's ROUND semantics for doubles, exactly: HALF_UP applied to
+    the SHORTEST DECIMAL REPR of the double (Spark's Round expression
+    goes through BigDecimal.valueOf(double) = Double.toString, which is
+    the same shortest round-trip repr python's repr() produces). Neither
+    python round() (banker's HALF_EVEN) nor floor(|x|·10^nd + 0.5) on
+    the binary value matches: the latter rounds 0.15 → 0.1 at nd=1
+    because binary 0.15 is 0.1499…, while Spark reads "0.15" and
+    HALF_UPs it to 0.2 (caught by
+    tests/test_pipeline_ops.py::test_round_half_up_matches_decimal)."""
+    import decimal
 
-    p = 10.0 ** nd
-    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def _cos_scores_expr(vec: Column, centroids: list[list[float]]) -> Column:

@@ -336,3 +336,62 @@ def test_sample_frames_cardinality_and_shas(spark, docs_df):
             assert r["frame_idx"] == i and r["ts_ms"] == i * 500
             assert len(bytes(r["frame"])) == 16
             assert hashlib.sha256(bytes(r["frame"])).hexdigest() == r["frame_sha"]
+
+
+def test_round_half_up_matches_decimal():
+    """_round_half_up must implement Spark ROUND (HALF_UP away from zero)
+    exactly — the IVF oracle's numpy replay rounds with it, so a single
+    banker's-rounding slip would diverge training between engines.
+    Property-checked against decimal.Decimal ROUND_HALF_UP, including
+    exact .5 boundaries where python round() disagrees."""
+    import decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def dec_half_up(x: float, nd: int) -> float:
+        q = decimal.Decimal(1).scaleb(-nd)
+        return float(decimal.Decimal(repr(x)).quantize(
+            q, rounding=decimal.ROUND_HALF_UP))
+
+    # exact decimal-boundary cases, incl. ones where the BINARY value sits
+    # below the .5 (0.15 = 0.1499... in binary: a floor-based impl says
+    # 0.1; Spark reads the shortest repr "0.15" and HALF_UPs to 0.2)
+    for x, nd, want in [(0.5, 0, 1.0), (-0.5, 0, -1.0), (2.5, 0, 3.0),
+                        (0.000005, 5, 1e-05), (-0.000005, 5, -1e-05),
+                        (1.25, 1, 1.3), (-1.25, 1, -1.3),
+                        (0.15, 1, 0.2), (-0.15, 1, -0.2),
+                        (2.675, 2, 2.68)]:
+        assert similarity._round_half_up(x, nd) == want == dec_half_up(x, nd)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=-1e6, max_value=1e6,
+                     allow_nan=False, allow_infinity=False),
+           st.integers(min_value=0, max_value=9))
+    def prop(x, nd):
+        assert similarity._round_half_up(x, nd) == dec_half_up(x, nd)
+
+    prop()
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up vs Spark's F.round on adversarial doubles — the
+    exact parity the IVF replay depends on, including shortest-repr .5
+    boundaries binary floats sit below (0.15, 2.675) and random values."""
+    import random
+
+    rng = random.Random(11)
+    vals = [0.15, -0.15, 2.675, 0.5, -0.5, 2.5, 1.25, -1.25, 0.000005,
+            1e-7, -1e-7, 123456.789115] + [rng.uniform(-2, 2) for _ in range(200)]
+    rows = [(i, v, nd) for i, v in enumerate(vals) for nd in (0, 1, 4, 6, 9)]
+    df = spark.createDataFrame(rows, "i int, x double, nd int")
+    got = {(r["i"], r["nd"]): r["r"] for r in df.select(
+        "i", "nd",
+        F.when(F.col("nd") == 0, F.round("x", 0))
+         .when(F.col("nd") == 1, F.round("x", 1))
+         .when(F.col("nd") == 4, F.round("x", 4))
+         .when(F.col("nd") == 6, F.round("x", 6))
+         .otherwise(F.round("x", 9)).alias("r"),
+    ).collect()}
+    for i, v, nd in rows:
+        assert got[(i, nd)] == similarity._round_half_up(v, nd), (v, nd)
