@@ -270,7 +270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational operator plans (SURVEY §2.D/F/H + A2)
     out["join_region_revenue"] = R.region_revenue
     out["window_top3_orders"] = R.top3_orders_per_customer
-    out["events_json_extract"] = R.events_json_extract
+    # A2 JSON deserialize + event-time windowed aggregation (tumbling /
+    # sliding / session, streaming/windows.py — the batch form of the
+    # watermarked streaming plans) union-gated in one query (50-query cap)
+    out["events_profile"] = R.events_profile
     out["upsert_last_writer_wins"] = R.last_writer_wins
     out["antijoin_unmatched_lookups"] = R.unmatched_lookups
 
@@ -408,7 +411,7 @@ def oracle_sql() -> dict[str, str]:
     out["etl_cmr_id_fallback"] = oracle.cmr_id_fallback_sql()
     out["join_region_revenue"] = R.region_revenue_sql()
     out["window_top3_orders"] = R.top3_orders_per_customer_sql()
-    out["events_json_extract"] = R.events_json_extract_sql()
+    out["events_profile"] = R.events_profile_sql()
     out["upsert_last_writer_wins"] = R.last_writer_wins_sql()
     out["antijoin_unmatched_lookups"] = R.unmatched_lookups_sql()
     # seeded input (see queries()): every 25th doc duplicated under a

@@ -107,6 +107,80 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 JSON deserialize + the three event-time window shapes
+    (streaming/windows.py) in ONE union-gated query (50-query cap, same
+    consolidation as phrase_matches): the disjoint ``variant`` column
+    keeps each operator's rows value-hash-gated individually. The window
+    plans here are the EXACT code the streaming tests run with a
+    watermark — batch gating + streamed execution of one shared plan."""
+    from content_rw_elasticsearch_spark.streaming import windows as W
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    json_rows = (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.lit("json").alias("variant"),
+            F.lit(None).cast("long").alias("win_start_s"),
+            F.lit(None).cast("long").alias("win_end_s"),
+            "key", "n_events", "sum_value",
+        )
+    )
+
+    def tag(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(
+            F.lit(variant).alias("variant"),
+            "win_start_s", "win_end_s", "key", "n_events", "sum_value",
+        )
+
+    tumbling = tag(W.windowed_counts(ev, window="1 hour"), "tumbling")
+    sliding = tag(
+        W.windowed_counts(ev, window="1 hour", slide="30 minutes"), "sliding"
+    )
+    sessions = tag(W.session_counts(ev, gap="12 hours"), "session")
+    return (
+        json_rows.unionByName(tumbling)
+        .unionByName(sliding)
+        .unionByName(sessions)
+        .orderBy("variant", "key", "win_start_s")
+    )
+
+
+def events_profile_sql() -> str:
+    from content_rw_elasticsearch_spark.streaming import windows as W
+
+    json_sql = """
+SELECT 'json' AS variant,
+       NULL::BIGINT AS win_start_s, NULL::BIGINT AS win_end_s,
+       event_type AS key,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+GROUP BY event_type
+"""
+    return (
+        json_sql
+        + " UNION ALL SELECT 'tumbling' AS variant, win_start_s, win_end_s,"
+        " key, n_events, sum_value FROM ("
+        + W.windowed_counts_sql(window="1 hour")
+        + ") UNION ALL SELECT 'sliding' AS variant, win_start_s, win_end_s,"
+        " key, n_events, sum_value FROM ("
+        + W.windowed_counts_sql(window="1 hour", slide="30 minutes")
+        + ") UNION ALL SELECT 'session' AS variant, win_start_s, win_end_s,"
+        " key, n_events, sum_value FROM ("
+        + W.session_counts_sql(gap="12 hours")
+        + ")"
+    )
+
+
 def last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.H idempotent upsert semantics, batch form: latest event per
     (user_id, event_type) — last-writer-wins keyed by ts with a
