@@ -202,13 +202,19 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
     # the scaling legs must keep the identical non-positional job)
     phrase_times: dict[str, float] = {}
     fielded_build_sec = None
+    positional_build_sec = None
     if not synth_docs:
         pos_dir = out_dir + "_pos"
         shutil.rmtree(pos_dir, ignore_errors=True)
+        # positional build overhead (companion to fielded_build_sec): the
+        # positions dimension ships an extra array column through the
+        # encode boundary — one number so its cost is measured, not argued
+        t = time.time()
         build_segments(
             corpus, pos_dir, text_col=text_col, doc_col="doc_id",
             n_buckets=8, snapshot_id=label, with_positions=True,
         )
+        positional_build_sec = round(time.time() - t, 4)
         pidx = SegmentIndex.load(spark, pos_dir)
         pidx.phrase_search(hot).collect()  # warm the positional decode path
         for phrase in ("hash join", "customer data group"):
@@ -285,6 +291,7 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         "ingest_batch_secs": ingest_times,
         "fold_sec": fold_sec,
         "fielded_build_sec": fielded_build_sec,
+        "positional_build_sec": positional_build_sec,
         # window-spread evidence: headline = min leg; a wide spread here
         # flags a noisy host window (compare legs before calling any
         # cross-round delta a regression)

@@ -15,7 +15,7 @@ Layout:
     streaming/   incremental ingest (foreachBatch MERGE semantics)
 """
 
-__version__ = "0.3.0"  # bump on segment-layout changes: /tmp index cache key
+__version__ = "0.4.0"  # bump on segment-layout changes: /tmp index cache key
 
 BM25_K1 = 1.2
 BM25_B = 0.75

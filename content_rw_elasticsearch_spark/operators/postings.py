@@ -66,6 +66,87 @@ def build_positional_postings(tok_df: DataFrame) -> DataFrame:
     )
 
 
+# dtypes mirror build_postings exactly (tf = long count agg, doc_len =
+# int F.size) so staging schemas are interchangeable across builders
+POSITIONAL_VB_SCHEMA = "term string, doc_id long, tf long, doc_len int, pos_vb binary"
+
+
+def build_positional_postings_vb(tok_df: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, doc_len, pos_vb) — build_positional_postings
+    with the positions PRE-ENCODED per posting (within-doc delta +
+    varbyte, codec.positions_encode semantics), produced DOC-LOCALLY by
+    one mapInPandas pass with zero shuffle.
+
+    Why this exists (measured, BENCH/BASELINE.md round 5): (term, doc)
+    grouping is doc-local — every posting's rows come from ONE source
+    row — but the declarative explode + groupBy + collect_list +
+    sort_array form can't tell Catalyst that, so it pays a full exchange
+    of position ARRAYS plus a ~|postings|-group hash-agg holding an
+    ArrayBuffer per group. At 3M docs / local[8] that made positional
+    staging 139 s vs 78 s non-positional; this builder does the grouping
+    in numpy inside one Arrow batch (flatten → factorize → one stable
+    argsort by (row, term-code) → run-length tf → ONE
+    positions_encode_with_lengths pass sliced per posting) and lands at
+    66-82 s — at parity with the non-positional agg. Downstream gets a
+    self-delimiting varbyte blob per posting whose doc-ordered
+    concatenation is byte-identical to encoding the flat group (the
+    codec restarts deltas at every doc boundary), so the segment
+    encoder just joins bytes; and the staging parquet / encode shuffle /
+    Arrow boundary all carry ONE binary value per posting instead of a
+    per-element array.
+
+    Works on fielded token frames too: grouping is per SOURCE ROW (a
+    (doc, field) row), and field identity lives in the term prefix, so
+    per-field doc_len rides through unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from . import codec
+
+    def fn(it):
+        for pdf in it:
+            toks = pdf["tokens"].to_numpy(dtype=object)
+            nrows = len(toks)
+            if not nrows:
+                continue
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=nrows)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            row_idx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            row_starts = np.zeros(nrows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=row_starts[1:])
+            pos = np.arange(total, dtype=np.int64) - row_starts[row_idx]
+            # batch-local term codes; (row << 40) | code is collision-free
+            # for any realistic batch (codes < 2^40 per Arrow batch)
+            codes = pd.factorize(flat)[0].astype(np.int64)
+            key = (row_idx << 40) | codes
+            order = np.argsort(key, kind="stable")  # stable keeps pos sorted
+            ks = key[order]
+            change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            gs = np.concatenate(([0], change))
+            ge = np.concatenate((change, [total]))
+            tfs = (ge - gs).astype(np.int64)
+            buf, nb = codec.positions_encode_with_lengths(
+                pos[order].astype(np.uint64), tfs)
+            bc = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(nb, out=bc[1:])
+            mv = memoryview(buf)
+            pvb = [bytes(mv[s:e]) for s, e in zip(bc[gs], bc[ge])]
+            od = order[gs]
+            yield pd.DataFrame({
+                "term": flat[od],
+                "doc_id": pdf["doc_id"].to_numpy()[row_idx[od]].astype(np.int64),
+                "tf": tfs,
+                "doc_len": pdf["doc_len"].to_numpy()[row_idx[od]].astype(np.int32),
+                "pos_vb": pvb,
+            })
+
+    return tok_df.mapInPandas(fn, POSITIONAL_VB_SCHEMA)
+
+
 def phrase_match(pos_postings: DataFrame, terms: list[str]) -> DataFrame:
     """Exact phrase occurrences: docs where terms appear at consecutive
     positions, with the phrase frequency. Pure relational form — explode

@@ -197,7 +197,20 @@ def _encode_groups(pdf: pd.DataFrame, with_positions: bool,
     max_tf = np.maximum.reduceat(tfs, starts).astype(np.int64)
     min_dl = np.minimum.reduceat(dls, starts).astype(np.int64)
 
-    if with_positions and "positions" in pdf.columns and n:
+    if with_positions and "pos_vb" in pdf.columns and n:
+        # positions arrive PRE-ENCODED per posting (build_positional_
+        # postings_vb): each blob is a self-delimiting varbyte run whose
+        # delta restarts at its doc boundary, so the doc-ordered byte
+        # concatenation is byte-identical to encoding the flat group
+        # (codec restarts at every doc anyway; pinned by
+        # tests/test_postings_vb.py) — just join the bytes.
+        pvbs = pdf["pos_vb"].to_numpy(dtype=object)[order]
+        plen = np.fromiter((len(b) for b in pvbs), dtype=np.int64, count=n)
+        bc = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(plen, out=bc[1:])
+        buf = b"".join(pvbs)
+        pos_vb = [buf[s:e] for s, e in zip(bc[starts], bc[ends])]
+    elif with_positions and "positions" in pdf.columns and n:
         plists = pdf["positions"].to_numpy(dtype=object)[order]
         flat = np.concatenate(
             [np.asarray(p, dtype=np.uint64) for p in plists]
@@ -269,7 +282,8 @@ def _encode_stream_fn(with_positions: bool = False,
     return run
 
 
-def _encode_from_spill_fn(spill_dir: str, with_positions: bool):
+def _encode_from_spill_fn(spill_dir: str, with_positions: bool,
+                          pos_col: str = "pos_vb"):
     """Storage-spill encoder: the input rows are tiny EPART IDS, not
     postings — each python worker reads its epart's postings DIRECTLY
     from parquet via pyarrow (C++ vectorized reader, zero JVM work) and
@@ -284,7 +298,7 @@ def _encode_from_spill_fn(spill_dir: str, with_positions: bool):
     stage measures 0.9-1.0 scaling) and a pyarrow read removes BOTH the
     row shuffle and the per-value Arrow boundary from the hot path."""
     cols = ["term", "salt", "doc_id", "tf", "doc_len"] + (
-        ["positions"] if with_positions else []
+        [pos_col] if with_positions else []
     )
 
     def run(batches):
@@ -365,9 +379,15 @@ def encode_segments(salted: DataFrame, with_positions: bool = False,
     # via the stats join instead of shipping it per posting); the output
     # then omits it too.
     has_nb = "nb" in salted.columns
+    # the positional column may be the pre-encoded per-posting varbyte
+    # (pos_vb, build_positional_postings_vb — ONE binary per posting
+    # through the shuffle and Arrow boundary) or the legacy array<int>
+    # (ingest delta/fold paths); _encode_groups handles both
+    pos_in = ([("pos_vb" if "pos_vb" in salted.columns else "positions")]
+              if with_positions else [])
     cols = ["term", "salt"] + (["nb"] if has_nb else []) + [
         "doc_id", "tf", "doc_len"
-    ] + (["positions"] if with_positions else []) + carry_cols
+    ] + pos_in + carry_cols
     schema = StructType(
         [StructField("term", salted.schema["term"].dataType)]
         + [f for f in list(SEGMENT_SCHEMA.fields)[1:]
@@ -418,13 +438,14 @@ def encode_segments_spill(salted: DataFrame, spill_dir: str,
         session_parts = 0
     eparts = _sized_encode_parts(spark, session_parts, with_positions,
                                  est_postings)
+    pos_col = ("pos_vb" if "pos_vb" in salted.columns else "positions")
     lean = salted.select(
         "term",
         F.col("salt").cast("int").alias("salt"),
         "doc_id",
         F.col("tf").cast("int").alias("tf"),
         F.col("doc_len").cast("int").alias("doc_len"),
-        *(["positions"] if with_positions else []),
+        *([pos_col] if with_positions else []),
         F.pmod(F.xxhash64("term", "salt"), F.lit(eparts)).cast("int")
         .alias("epart"),
     )
@@ -437,7 +458,7 @@ def encode_segments_spill(salted: DataFrame, spill_dir: str,
         + [f for f in list(SEGMENT_SCHEMA.fields)[1:] if f.name != "nb"]
     )
     return ids.mapInPandas(
-        _encode_from_spill_fn(spill_dir, with_positions), schema
+        _encode_from_spill_fn(spill_dir, with_positions, pos_col), schema
     )
 
 
@@ -461,11 +482,16 @@ def build_segments(
 
     ``encode_path`` picks the stage-2 encode route: "spill" (storage-
     spill encode — partitionBy(epart) parquet write + pyarrow-fed
-    encoder, see encode_segments_spill), "inline" (the shuffle-fed
-    mapInPandas encoder), or None (default) = auto: spill for builds of
-    >= ESPILL_MIN_POSTINGS postings on non-URI paths, inline otherwise.
-    The SPARK_GRAFT_ENCODE_PATH env var overrides the auto choice (A/B
-    knob for the scaling campaign).
+    encoder, see encode_segments_spill) or anything else (default) =
+    the shuffle-fed inline mapInPandas encoder. Inline is the default
+    because same-window A/Bs measured spill at parity at 8 cores and
+    slower at 2, for non-positional (BENCH/BASELINE.md (k)) AND
+    positional (section (m): 233.6/232.4 s then 252.2/259.6 s) builds —
+    the Arrow input boundary it removes is already pipelined behind the
+    python encoder. Spill remains the explicit election for
+    memory-bound deployments (the pandas encoder cannot spill
+    mid-partition). The SPARK_GRAFT_ENCODE_PATH env var overrides (A/B
+    knob for the scaling campaigns).
 
     ``fields`` (name -> Column/str) builds a FIELD-SCOPED index (the ES
     schema's per-field analyzed indexes, referenceSchema.json:50-59):
@@ -521,8 +547,15 @@ def build_segments(
             tok = P.tokenized(corpus, text_col, doc_col, analyzer)
             sent_tok = F.lit("\x00")
         tok = tok.withColumn("tokens", F.concat("tokens", F.array(sent_tok)))
+        # positional staging uses the DOC-LOCAL vb builder: grouping per
+        # (doc, term) never needed the exchange the declarative
+        # explode+groupBy+collect_list form pays, and the positions leave
+        # the python worker already varbyte-encoded per posting — 3M-doc
+        # staging 139 s (agg) -> 66-82 s (vb), same window interleaved
+        # (BENCH/BASELINE.md (m))
         post = (
-            P.build_positional_postings(tok) if with_positions else P.build_postings(tok)
+            P.build_positional_postings_vb(tok)
+            if with_positions else P.build_postings(tok)
         ).withColumn(
             "bucket",
             F.when(F.col("term").endswith("\x00"), F.lit(-1)).otherwise(
@@ -712,7 +745,15 @@ def build_segments(
                 F.count_distinct("tid").alias("nid"),
             ).collect()[0]
             use_ids = int(idrow["n"]) == int(idrow["nid"])
-        pos_cols = ["positions"] if stage1.get("positions", False) else []
+        # pos_vb = pre-encoded per-posting varbyte (current staging);
+        # "positions" array form accepted for staging written by older
+        # versions (cache dirs are version-keyed, so only an in-place
+        # resume would ever see it)
+        if stage1.get("positions", False):
+            pos_cols = (["pos_vb"] if "pos_vb" in staged.columns
+                        else ["positions"])
+        else:
+            pos_cols = []
         est_missing = sum(bucket_postings.get(i, 0) for i in missing)
         choice = encode_path or os.environ.get("SPARK_GRAFT_ENCODE_PATH")
         # Inline-first: the same-window A/B at 3M docs (BENCH/BASELINE.md
