@@ -68,10 +68,11 @@ def build_positional_postings(tok_df: DataFrame) -> DataFrame:
 
 # dtypes mirror build_postings exactly (tf = long count agg, doc_len =
 # int F.size) so staging schemas are interchangeable across builders
-POSITIONAL_VB_SCHEMA = "term string, doc_id long, tf long, doc_len int, pos_vb binary"
+DOCLOCAL_SCHEMA = "term string, doc_id long, tf long, doc_len int"
+POSITIONAL_VB_SCHEMA = DOCLOCAL_SCHEMA + ", pos_vb binary"
 
 
-def build_positional_postings_vb(tok_df: DataFrame) -> DataFrame:
+def _doc_local_postings(tok_df: DataFrame, with_positions: bool) -> DataFrame:
     """(term, doc_id, tf, doc_len, pos_vb) — build_positional_postings
     with the positions PRE-ENCODED per posting (within-doc delta +
     varbyte, codec.positions_encode semantics), produced DOC-LOCALLY by
@@ -122,6 +123,18 @@ def build_positional_postings_vb(tok_df: DataFrame) -> DataFrame:
             # batch-local term codes; (row << 40) | code is collision-free
             # for any realistic batch (codes < 2^40 per Arrow batch)
             codes = pd.factorize(flat)[0].astype(np.int64)
+            # (row << 40) | code packing is exact only while both fit —
+            # a silent overflow would MERGE two postings' positions
+            # (corruption, not an error), same failure class as the
+            # encoder's salt guard (ADVICE r4). Arrow batches are capped
+            # at maxRecordsPerBatch (10k) rows and a batch's vocab is
+            # bounded by its token count, so these never fire in
+            # practice.
+            if nrows > (1 << 23) or int(codes.max()) >= (1 << 40):
+                raise ValueError(
+                    f"batch too large for (row << 40) | code packing: "
+                    f"{nrows} rows, {int(codes.max()) + 1} distinct terms"
+                )
             key = (row_idx << 40) | codes
             order = np.argsort(key, kind="stable")  # stable keeps pos sorted
             ks = key[order]
@@ -129,22 +142,41 @@ def build_positional_postings_vb(tok_df: DataFrame) -> DataFrame:
             gs = np.concatenate(([0], change))
             ge = np.concatenate((change, [total]))
             tfs = (ge - gs).astype(np.int64)
-            buf, nb = codec.positions_encode_with_lengths(
-                pos[order].astype(np.uint64), tfs)
-            bc = np.zeros(total + 1, dtype=np.int64)
-            np.cumsum(nb, out=bc[1:])
-            mv = memoryview(buf)
-            pvb = [bytes(mv[s:e]) for s, e in zip(bc[gs], bc[ge])]
             od = order[gs]
-            yield pd.DataFrame({
+            cols = {
                 "term": flat[od],
                 "doc_id": pdf["doc_id"].to_numpy()[row_idx[od]].astype(np.int64),
                 "tf": tfs,
                 "doc_len": pdf["doc_len"].to_numpy()[row_idx[od]].astype(np.int32),
-                "pos_vb": pvb,
-            })
+            }
+            if with_positions:
+                buf, nb = codec.positions_encode_with_lengths(
+                    pos[order].astype(np.uint64), tfs)
+                bc = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(nb, out=bc[1:])
+                mv = memoryview(buf)
+                cols["pos_vb"] = [bytes(mv[s:e]) for s, e in zip(bc[gs], bc[ge])]
+            yield pd.DataFrame(cols)
 
-    return tok_df.mapInPandas(fn, POSITIONAL_VB_SCHEMA)
+    return tok_df.mapInPandas(
+        fn, POSITIONAL_VB_SCHEMA if with_positions else DOCLOCAL_SCHEMA)
+
+
+def build_positional_postings_vb(tok_df: DataFrame) -> DataFrame:
+    """See _doc_local_postings — the positional (pos_vb) form."""
+    return _doc_local_postings(tok_df, with_positions=True)
+
+
+def build_postings_doclocal(tok_df: DataFrame) -> DataFrame:
+    """build_postings semantics via the doc-local numpy pass — no
+    exchange, no posting-count-group hash-agg. Measured at 3M docs /
+    local[8], same-window interleaved (BENCH/BASELINE.md (m)): staging
+    78-84 s (agg) -> 59.6-60.5 s, and the doc-grouped row order
+    compresses the staging parquet 748 -> 469 MB. Kept behind
+    build_segments' staging_path election until its 2-vs-8 scaling is
+    measured (the extra Arrow crossing is the known non-scaling
+    mechanism)."""
+    return _doc_local_postings(tok_df, with_positions=False)
 
 
 def phrase_match(pos_postings: DataFrame, terms: list[str]) -> DataFrame:

@@ -552,11 +552,18 @@ def build_segments(
         # explode+groupBy+collect_list form pays, and the positions leave
         # the python worker already varbyte-encoded per posting — 3M-doc
         # staging 139 s (agg) -> 66-82 s (vb), same window interleaved
-        # (BENCH/BASELINE.md (m))
-        post = (
-            P.build_positional_postings_vb(tok)
-            if with_positions else P.build_postings(tok)
-        ).withColumn(
+        # (BENCH/BASELINE.md (m)). The non-positional doc-local form also
+        # wins wall-clock (78-84 -> ~60 s, staging 748 -> 469 MB) but
+        # adds an Arrow crossing to the stage that today CPU-scales at
+        # ~1.0 — SPARK_GRAFT_STAGING=doclocal opts in until its 2-vs-8
+        # scaling is measured (see (m)).
+        if with_positions:
+            post = P.build_positional_postings_vb(tok)
+        elif os.environ.get("SPARK_GRAFT_STAGING") == "doclocal":
+            post = P.build_postings_doclocal(tok)
+        else:
+            post = P.build_postings(tok)
+        post = post.withColumn(
             "bucket",
             F.when(F.col("term").endswith("\x00"), F.lit(-1)).otherwise(
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
