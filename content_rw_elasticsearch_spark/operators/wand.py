@@ -189,7 +189,18 @@ class SegmentIndex:
     prune_min_postings: int = 500_000
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "SegmentIndex":
+    def load(cls, spark: SparkSession, path: str,
+             as_of_gen: int | None = None) -> "SegmentIndex":
+        """Open the index — optionally AS OF a committed delta generation
+        (time travel): ``as_of_gen=g`` reproduces exactly the state after
+        generation g committed (later upserts/tombstones excluded, stats
+        from the highest generation <= g), the reproducibility handle a
+        training pipeline pins so a rerun reads the same corpus snapshot.
+        The whole query path derives from the loaded generation list, so
+        this is a load-time filter, not a separate read path. Generations
+        folded into the base (gen <= min_gen after fold_deltas) are no
+        longer reconstructable — asking for a pre-fold state raises
+        rather than silently serving the folded (newer) base."""
         fs = storage.fs_for(path, spark)
         # heal a docs-table swap the ingest crashed in the middle of (the
         # base segment/stats dirs are never swapped — fold/merge commit a
@@ -205,6 +216,12 @@ class SegmentIndex:
         # delta generations folded into the base are ignored even if their
         # manifests still exist (fold GC is best-effort after its commit)
         min_gen = int(m.get("min_gen", 0))
+        if as_of_gen is not None and as_of_gen < min_gen:
+            raise ValueError(
+                f"as_of_gen={as_of_gen} predates the retained window: "
+                f"generations <= {min_gen} were folded into the base and "
+                "cannot be reconstructed"
+            )
         gens = []
         # n_docs/avgdl (and field_stats for fielded indexes) come from the
         # HIGHEST committed delta generation — each batch writes the
@@ -215,11 +232,15 @@ class SegmentIndex:
             if not (name.startswith("delta_manifest_") and name.endswith(".json")):
                 continue
             dm = storage.read_json(fs, pjoin(path, name))
-            if dm.get("committed") and int(dm["gen"]) > min_gen:
-                gens.append(int(dm["gen"]))
-                if int(dm["gen"]) > best_gen:
-                    best_gen = int(dm["gen"])
-                    stats_src = dm
+            g = int(dm["gen"])
+            if not dm.get("committed") or g <= min_gen:
+                continue
+            if as_of_gen is not None and g > as_of_gen:
+                continue
+            gens.append(g)
+            if g > best_gen:
+                best_gen = g
+                stats_src = dm
         return cls(
             spark=spark, path=path, n_docs=int(stats_src["n_docs"]),
             avgdl=float(stats_src["avgdl"]) or 1.0,

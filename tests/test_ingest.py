@@ -234,3 +234,43 @@ def test_streaming_dedup_first_wins_state(spark, tmp_path):
     # cross-batch suppression really happened across TWO emissions
     aa_rows = [r for r in rows if r["content_sha"] == sha("aa")]
     assert len(aa_rows) == 2 and {r["n_suppressed"] for r in aa_rows} == {1, 2}
+
+
+def test_time_travel_load_as_of_generation(spark):
+    """SegmentIndex.load(as_of_gen=g) reproduces exactly the post-g
+    state: later upserts AND later tombstones are excluded, n_docs/avgdl
+    come from generation g's manifest, and a generation folded into the
+    base raises instead of silently serving newer data — the
+    reproducibility pin a training pipeline holds across reruns."""
+    path = BASE + "_tt"
+    _mk_index(spark, path)
+    base_n = SegmentIndex.load(spark, path).n_docs
+    up = lambda rows: ingest.apply_upserts(  # noqa: E731
+        spark, path,
+        spark.createDataFrame(rows, "doc_id long, content string, deleted boolean"),
+        "content", "doc_id", "deleted",
+    )
+    m1 = up([(7_000_001, "travelterm alpha body", False)])
+    m2 = up([(7_000_002, "travelterm beta body", False),
+             (7_000_001, "", True)])  # gen 2 deletes the gen-1 doc
+    assert (m1["gen"], m2["gen"]) == (1, 2)
+
+    at1 = SegmentIndex.load(spark, path, as_of_gen=1)
+    assert set(_ids(at1.search("travelterm", k=10))) == {7_000_001}
+    assert at1.n_docs == base_n + 1  # gen-1 manifest stats, not latest
+
+    at2 = SegmentIndex.load(spark, path, as_of_gen=2)
+    assert set(_ids(at2.search("travelterm", k=10))) == {7_000_002}
+    # latest load ≡ as-of the newest generation
+    latest = SegmentIndex.load(spark, path)
+    assert latest.generations == at2.generations == [1, 2]
+    assert at1.generations == [1]
+
+    # fold retires the deltas: pre-fold states are gone, and asking for
+    # one is an ERROR, not a silent fallback to the folded base
+    ingest.fold_deltas(spark, path)
+    folded = SegmentIndex.load(spark, path)
+    assert set(_ids(folded.search("travelterm", k=10))) == {7_000_002}
+    with pytest.raises(ValueError, match="folded"):
+        SegmentIndex.load(spark, path, as_of_gen=1)
+    shutil.rmtree(path)
