@@ -142,7 +142,18 @@ def _phrase_query(phrase: str, spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _index_for(spark, sf_dir).term_lookup("dup")
+    """Two postings-fetch shapes union-gated in one slot (50-query cap):
+    'term' = single-term lookup on the in-memory index; 'prefix' = the
+    ES prefix-query expansion as a term-RANGE scan over the PERSISTED
+    segment store (pushed StringStartsWith + term-sorted row-group
+    pruning — see SegmentIndex.prefix_postings)."""
+    from pyspark.sql import functions as F
+    a = _index_for(spark, sf_dir).term_lookup("dup").select(
+        F.lit("term").alias("variant"), F.lit("dup").alias("term"),
+        "doc_id", "tf")
+    b = _segment_index_for(spark, sf_dir).prefix_postings("s").select(
+        F.lit("prefix").alias("variant"), "term", "doc_id", "tf")
+    return a.unionByName(b)
 
 
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        ).withColumn("field", F.lit("title"))
         b = idx.search("hash join", field="body", k=10, mode="AND"
                        ).withColumn("field", F.lit("body"))
-        return a.unionByName(b)
+        # ES multi_match most_fields with boosts (title^2), one decode
+        # pass over both fields' composite keys, per-field norms
+        c = idx.search_multi("hash join", {"title": 2.0, "body": 1.0},
+                             k=10, mode="AND").withColumn("field", F.lit("multi"))
+        return a.unionByName(b).unionByName(c)
 
     out["segment_fielded"] = _segment_fielded
 
@@ -372,7 +387,10 @@ def oracle_sql() -> dict[str, str]:
                                            not_terms=["row"])
     # code-analyzer BM25: independent pure-Python golden (VALUES literal)
     out["bm25_code_analyzer"] = oracle.bm25_code_topk_sql("hash join", k=10, mode="AND")
-    from content_rw_elasticsearch_spark.operators.fields import fielded_bm25_sql
+    from content_rw_elasticsearch_spark.operators.fields import (
+        fielded_bm25_multi_sql,
+        fielded_bm25_sql,
+    )
     out["bm25_field_title"] = fielded_bm25_sql(
         FIELD_EXPRS_SQL, "hash join", field="title", k=10, mode="AND")
     out["bm25_field_body"] = fielded_bm25_sql(
@@ -382,7 +400,11 @@ def oracle_sql() -> dict[str, str]:
     out["segment_fielded"] = (
         "SELECT *, 'title' AS field FROM (" + out["bm25_field_title"]
         + ") UNION ALL SELECT *, 'body' AS field FROM ("
-        + out["bm25_field_body"] + ")"
+        + out["bm25_field_body"]
+        + ") UNION ALL SELECT *, 'multi' AS field FROM ("
+        + fielded_bm25_multi_sql(FIELD_EXPRS_SQL, "hash join",
+                                 {"title": 2.0, "body": 1.0},
+                                 k=10, mode="AND") + ")"
     )
     out["phrase_matches"] = (
         "SELECT *, 'hash join' AS phrase FROM ("
@@ -390,7 +412,12 @@ def oracle_sql() -> dict[str, str]:
         + ") UNION ALL SELECT *, 'customer data group' AS phrase FROM ("
         + oracle.phrase_match_sql("customer data group") + ")"
     )
-    out["index_term_postings"] = oracle.term_postings_sql("dup")
+    out["index_term_postings"] = (
+        "SELECT 'term' AS variant, 'dup' AS term, doc_id, tf FROM ("
+        + oracle.term_postings_sql("dup")
+        + ") UNION ALL SELECT 'prefix' AS variant, term, doc_id, tf FROM ("
+        + oracle.prefix_postings_sql("s") + ")"
+    )
     out["index_stats"] = (
         "SELECT t.term, t.df, c.n_docs, c.avgdl FROM ("
         + oracle.term_stats_sql() + ") t CROSS JOIN ("

@@ -147,6 +147,63 @@ class FieldedIndex:
             .limit(k)
         )
 
+    def search_multi(self, query: str, weights: dict[str, float],
+                     k: int = 10, mode: str = "AND") -> DataFrame:
+        """Weighted multi-field BM25 top-k (ES multi_match most_fields
+        with field boosts): score = Σ_f boost_f · bm25_f(doc), each field
+        scored with its OWN df/docCount/avgdl. mode="AND" requires every
+        query term to match in at least one queried field. Fully
+        distributed — per-field params are a |fields|-row broadcast and
+        idf is computed columnar from the broadcast (field, term) stats."""
+        unknown = set(weights) - set(self.field_stats)
+        if unknown:
+            raise KeyError(f"unknown fields {sorted(unknown)}")
+        spark = self.postings.sparkSession
+        terms = sorted(set(analyze_query_py(query, self.analyzer)))
+        fparams = [
+            (f, float(w), float(self.field_stats[f][0]),
+             self.field_stats[f][1] or 1.0)
+            for f, w in weights.items() if self.field_stats[f][0] > 0
+        ]
+        if not terms or not fparams:
+            return spark.createDataFrame([], "doc_id long, score double")
+        pdf = spark.createDataFrame(
+            fparams, "field string, w double, n double, favgdl double"
+        )
+        qstats = self.stats.filter(
+            F.col("field").isin([p[0] for p in fparams])
+            & F.col("term").isin(terms)
+        ).select("field", "term", "df")
+        cand = (
+            self.postings
+            .filter(F.col("field").isin([p[0] for p in fparams])
+                    & F.col("term").isin(terms))
+            .join(F.broadcast(qstats), ["field", "term"])
+            .join(F.broadcast(pdf), "field")
+        )
+        tf = F.col("tf").cast("double")
+        dl = F.col("doc_len").cast("double")
+        dfc = F.col("df").cast("double")
+        idf = F.log(1.0 + (F.col("n") - dfc + 0.5) / (dfc + 0.5))
+        partial = (
+            F.col("w") * idf * tf * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.col("favgdl")))
+        )
+        scored = (
+            cand.select("doc_id", "term", partial.alias("partial"))
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("raw"),
+                 F.countDistinct("term").alias("nbase"))
+        )
+        if mode.upper() == "AND":
+            scored = scored.filter(F.col("nbase") == len(terms))
+        return (
+            scored.select("doc_id",
+                          F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def unpersist(self) -> None:
         for df in (self.postings, self.stats):
             try:
@@ -225,6 +282,67 @@ scored AS (
   JOIN fdl d ON d.doc_id = p.doc_id AND d.field = p.field
   JOIN fcorpus c ON c.field = p.field
   WHERE p.field = '{field}'
+  GROUP BY p.doc_id
+  {having}
+)
+SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def fielded_bm25_multi_sql(field_exprs: dict[str, str], query: str,
+                           weights: dict[str, float], k: int = 10,
+                           mode: str = "AND") -> str:
+    """Oracle replay of search_multi: boost-weighted sum of per-field
+    BM25 (each field's own df/docCount/avgdl); AND = every query term
+    matched in >= 1 queried field (count DISTINCT base terms)."""
+    terms = sorted(set(analyze_query_py(query, "simple")))
+    if not terms:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    fields_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS field, "
+        f"list_filter(string_split_regex(lower({expr}), '[^a-z0-9]+'), "
+        f"x -> x <> '') AS toks FROM documents"
+        for name, expr in field_exprs.items()
+    )
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    fields_in = ", ".join(f"'{f}'" for f in weights)
+    boost = "CASE p.field " + " ".join(
+        f"WHEN '{f}' THEN {float(w)!r}" for f, w in weights.items()
+    ) + " END"
+    having = (f"HAVING count(DISTINCT p.term) = {len(terms)}"
+              if mode.upper() == "AND" else "")
+    return f"""
+WITH fdocs AS ({fields_union}),
+fdl AS (SELECT doc_id, field, len(toks)::DOUBLE AS doc_len FROM fdocs),
+fcorpus AS (
+  SELECT field, count(*)::DOUBLE AS n, avg(doc_len) AS avgdl
+  FROM fdl GROUP BY field
+),
+fpost AS (
+  SELECT doc_id, field, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, field, unnest(toks) AS term FROM fdocs)
+  GROUP BY doc_id, field, term
+),
+qt AS (SELECT unnest([{inner}]) AS term),
+fstats AS (
+  SELECT field, term, count(*)::DOUBLE AS df FROM fpost
+  WHERE term IN (SELECT term FROM qt) GROUP BY field, term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( {boost}
+              * ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+              * p.tf*({BM25_K1}+1)
+              / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)) ) AS raw
+  FROM fpost p
+  JOIN fstats s ON s.field = p.field AND s.term = p.term
+  JOIN fdl d ON d.doc_id = p.doc_id AND d.field = p.field
+  JOIN fcorpus c ON c.field = p.field
+  WHERE p.field IN ({fields_in}) AND p.term IN (SELECT term FROM qt)
   GROUP BY p.doc_id
   {having}
 )

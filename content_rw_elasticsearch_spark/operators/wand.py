@@ -614,6 +614,146 @@ class SegmentIndex:
             .orderBy("doc_id")
         )
 
+    def search_multi(self, query: str, weights: dict[str, float],
+                     k: int = 10, mode: str = "AND") -> DataFrame:
+        """Weighted multi-field BM25 top-k over the persisted fielded
+        store — the ES ``multi_match`` (most_fields) analog for the
+        reference schema's boosted per-field indexes
+        (configs/referenceSchema.json:50-59): each queried field scores
+        with its OWN norms (df, docCount, avgdl from the manifest's
+        field_stats) and the document score is the boost-weighted sum
+        across fields. mode="AND" requires every query term to match in
+        at least one queried field (ES most_fields + operator=and);
+        "OR" keeps any doc with any (field, term) hit.
+
+        One scan serves all fields: the composite ``field\\x1fterm`` keys
+        of every (field, term) pair go through the same metadata-pruned
+        decode as a single-field query, and the per-field idf·boost is
+        precomputed driver-side into a |fields|·|terms|-row broadcast —
+        scoring stays 100% columnar. Fields whose delta field_stats say
+        n_docs == 0 (fully deleted) contribute nothing."""
+        if not self.field_stats:
+            raise ValueError(
+                "search_multi requires an index built with "
+                "build_segments(fields=...); this index is unfielded"
+            )
+        unknown = set(weights) - set(self.field_stats)
+        if unknown:
+            raise KeyError(
+                f"unknown fields {sorted(unknown)}; index has "
+                f"{sorted(self.field_stats)}"
+            )
+        base_terms = sorted(set(analyze_query_py(query, self.analyzer)))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        fparams = {}
+        for f, w in weights.items():
+            fs = self.field_stats[f]
+            if int(fs["n_docs"]) > 0:
+                fparams[f] = (float(w), int(fs["n_docs"]),
+                              float(fs["avgdl"]) or 1.0)
+        if not base_terms or not fparams:
+            return empty
+        comp = sorted(f + FIELD_SEP + t for f in fparams for t in base_terms)
+        meta = self._meta(comp)
+        if meta.empty:
+            return empty
+        found = sorted(meta["term"].unique())
+        is_and = mode.upper() == "AND"
+        matched_base = {c.split(FIELD_SEP, 1)[1] for c in found}
+        if is_and and matched_base != set(base_terms):
+            return empty  # a required term is absent from every field
+        # Lucene-faithful df per composite key (superseded postings count
+        # until fold, same as search()); idf uses the FIELD's docCount
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
+        rows = []
+        for c in found:
+            f, t = c.split(FIELD_SEP, 1)
+            w, n_f, avgdl_f = fparams[f]
+            rows.append((c, t, w * self._idf(term_df[c], n_f), avgdl_f))
+        params = self.spark.createDataFrame(
+            rows, "term string, base string, widf double, favgdl double"
+        )
+        decoded = self._decode(found, None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        cand = decoded.join(F.broadcast(params), "term")
+        tf = F.col("tf").cast("double")
+        dl = F.col("doc_len").cast("double")
+        partial = (
+            F.col("widf") * tf * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.col("favgdl")))
+        )
+        scored = (
+            cand.select("doc_id", "base", partial.alias("partial"))
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("raw"),
+                 F.countDistinct("base").alias("nbase"))
+        )
+        if is_and:
+            scored = scored.filter(F.col("nbase") == len(base_terms))
+        return (
+            scored.select(
+                "doc_id", F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def prefix_postings(self, prefix: str,
+                        field: str | None = None) -> DataFrame:
+        """Live postings of every term starting with ``prefix`` — the ES
+        ``prefix`` query's expansion stage, as a term-RANGE scan over the
+        segment store: ``term.startswith(prefix)`` reaches parquet as a
+        pushed StringStartsWith filter, and because segment files are
+        term-SORTED (segments.py stage 2), row-group min/max statistics
+        prune everything outside the range — the scan decodes only
+        matching blocks even though bucket directories (term-HASH
+        partitioned) cannot pre-select. On a fielded index the range is
+        scoped to ``field`` (default: the manifest's default_field) via
+        the composite key prefix. Output (term, doc_id, tf), term
+        stripped of the field prefix, ordered for determinism."""
+        fprefix, _, _ = self._resolve_field(field)
+        full = fprefix + prefix
+        segs = self._all_segments().filter(F.col("term").startswith(full))
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = (
+            segs.select("term", "gen", "docs_vb", "tfs_vb", "dlens_vb")
+            .coalesce(max(1, par))
+            .mapInPandas(_decode_blocks, _DECODED_SCHEMA)
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        term_out = (
+            F.expr(f"substring(term, {len(fprefix) + 1})") if fprefix
+            else F.col("term")
+        )
+        return (
+            decoded.select(term_out.alias("term"), "doc_id", "tf")
+            .orderBy("term", "doc_id")
+        )
+
+    def prefix_search(self, prefix: str, k: int = 10,
+                      field: str | None = None) -> DataFrame:
+        """Top-k docs matching any term with the given prefix (ES prefix
+        query under its constant_score rewrite — no tf/idf): ranked by
+        the number of DISTINCT matching terms, doc_id tiebreak."""
+        return (
+            self.prefix_postings(prefix, field)
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_terms"))
+            .orderBy(F.desc("n_terms"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def term_lookup(self, term: str, field: str | None = None) -> DataFrame:
         """Single-term postings fetch over the segment store (live docs).
         ``field`` scopes the lookup on a fielded index."""

@@ -136,6 +136,19 @@ SELECT doc_id, tf::BIGINT AS tf FROM post WHERE term = '{t}' ORDER BY doc_id
 """
 
 
+def prefix_postings_sql(prefix: str) -> str:
+    """Oracle for SegmentIndex.prefix_postings: postings of every term
+    starting with ``prefix`` (the ES prefix query's expansion), from a
+    full re-tokenize. ``prefix`` must not contain LIKE wildcards."""
+    p = prefix.replace("'", "''")
+    assert "%" not in p and "_" not in p, "prefix may not contain wildcards"
+    return f"""
+WITH {TOKENS_CTE}
+SELECT term, doc_id, tf::BIGINT AS tf FROM post
+WHERE term LIKE '{p}%' ORDER BY term, doc_id
+"""
+
+
 def term_stats_sql(min_df: int = 1) -> str:
     return f"""
 WITH {TOKENS_CTE}
