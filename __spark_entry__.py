@@ -146,14 +146,19 @@ def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     'term' = single-term lookup on the in-memory index; 'prefix' = the
     ES prefix-query expansion as a term-RANGE scan over the PERSISTED
     segment store (pushed StringStartsWith + term-sorted row-group
-    pruning — see SegmentIndex.prefix_postings)."""
+    pruning — see SegmentIndex.prefix_postings); 'fuzzy' = the ES fuzzy
+    expansion (JVM levenshtein over the term dictionary, metadata-only
+    scan — see SegmentIndex.fuzzy_postings)."""
     from pyspark.sql import functions as F
+    seg = _segment_index_for(spark, sf_dir)
     a = _index_for(spark, sf_dir).term_lookup("dup").select(
         F.lit("term").alias("variant"), F.lit("dup").alias("term"),
         "doc_id", "tf")
-    b = _segment_index_for(spark, sf_dir).prefix_postings("s").select(
+    b = seg.prefix_postings("s").select(
         F.lit("prefix").alias("variant"), "term", "doc_id", "tf")
-    return a.unionByName(b)
+    c = seg.fuzzy_postings("sow", max_edits=1).select(
+        F.lit("fuzzy").alias("variant"), "term", "doc_id", "tf")
+    return a.unionByName(b).unionByName(c)
 
 
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,7 +421,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'term' AS variant, 'dup' AS term, doc_id, tf FROM ("
         + oracle.term_postings_sql("dup")
         + ") UNION ALL SELECT 'prefix' AS variant, term, doc_id, tf FROM ("
-        + oracle.prefix_postings_sql("s") + ")"
+        + oracle.prefix_postings_sql("s")
+        + ") UNION ALL SELECT 'fuzzy' AS variant, term, doc_id, tf FROM ("
+        + oracle.fuzzy_postings_sql("sow", max_edits=1) + ")"
     )
     out["index_stats"] = (
         "SELECT t.term, t.df, c.n_docs, c.avgdl FROM ("

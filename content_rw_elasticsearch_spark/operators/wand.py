@@ -741,6 +741,88 @@ class SegmentIndex:
             .orderBy("term", "doc_id")
         )
 
+    def _fuzzy_expansions(self, term: str, max_edits: int,
+                          field: str | None,
+                          max_expansions: int) -> tuple[str, list[str]]:
+        """(field_prefix, expansion terms within levenshtein <= max_edits)
+        — the ES fuzzy query's term expansion, over the segment store's
+        term dictionary. The scan is metadata-only (term column, binary
+        postings never read) and the edit distance runs JVM-side
+        (F.levenshtein — no UDF), behind a cheap pushable length
+        pre-filter. Expansions are capped like ES (max_expansions,
+        closest-first: edit distance, then term) so a pathological
+        neighborhood cannot explode the decode set."""
+        fprefix, _, _ = self._resolve_field(field)
+        segs = self._all_segments()
+        if fprefix:
+            segs = segs.filter(F.col("term").startswith(fprefix))
+        base = (F.expr(f"substring(term, {len(fprefix) + 1})") if fprefix
+                else F.col("term"))
+        dist = F.levenshtein(F.col("t"), F.lit(term))
+        cand = (
+            segs.select(base.alias("t"))
+            .filter(F.length("t").between(len(term) - max_edits,
+                                          len(term) + max_edits))
+            .select("t", dist.alias("d"))
+            .filter(F.col("d") <= max_edits)
+            .distinct()
+            .orderBy("d", "t")
+            .limit(max_expansions)
+        )
+        return fprefix, [r["t"] for r in cand.collect()]
+
+    def fuzzy_postings(self, term: str, max_edits: int = 1,
+                       field: str | None = None,
+                       max_expansions: int = 50) -> DataFrame:
+        """Live postings of every term within ``max_edits`` levenshtein
+        edits of ``term`` (the ES fuzzy query's expansion). Output
+        (term, doc_id, tf) with the field prefix stripped, ordered."""
+        fprefix, exp = self._fuzzy_expansions(term, max_edits, field,
+                                              max_expansions)
+        if not exp:
+            return self.spark.createDataFrame(
+                [], "term string, doc_id long, tf long")
+        decoded = self._decode(sorted(fprefix + t for t in exp), None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        term_out = (
+            F.expr(f"substring(term, {len(fprefix) + 1})") if fprefix
+            else F.col("term")
+        )
+        return (
+            decoded.select(term_out.alias("term"), "doc_id", "tf")
+            .orderBy("term", "doc_id")
+        )
+
+    def fuzzy_search(self, term: str, k: int = 10, max_edits: int = 1,
+                     field: str | None = None,
+                     max_expansions: int = 50) -> DataFrame:
+        """BM25 top-k over the fuzzy expansion set, scored as an OR
+        query — each expanded term contributes with its OWN df (idf),
+        so exact-form matches naturally outrank rare typo forms the way
+        ES's blended rewrite intends. Rank-identical to
+        search(" ".join(expansions), mode="OR", prune=False)."""
+        prefix, n_docs, avgdl = self._resolve_field(field)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if n_docs == 0:
+            return empty
+        _, exp = self._fuzzy_expansions(term, max_edits, field,
+                                        max_expansions)
+        if not exp:
+            return empty
+        comp = sorted(prefix + t for t in exp)
+        meta = self._meta(comp)
+        if meta.empty:
+            return empty
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
+        return self._score(self._decode(sorted(term_df), None), term_df,
+                           None, k, n_docs=n_docs, avgdl=avgdl)
+
     def prefix_search(self, prefix: str, k: int = 10,
                       field: str | None = None) -> DataFrame:
         """Top-k docs matching any term with the given prefix (ES prefix

@@ -149,6 +149,20 @@ WHERE term LIKE '{p}%' ORDER BY term, doc_id
 """
 
 
+def fuzzy_postings_sql(term: str, max_edits: int = 1) -> str:
+    """Oracle for SegmentIndex.fuzzy_postings: postings of every term
+    within ``max_edits`` levenshtein edits, from a full re-tokenize.
+    No max_expansions cap here — gated configs keep the true expansion
+    set below the engine's cap so both sides agree."""
+    t = term.replace("'", "''")
+    return f"""
+WITH {TOKENS_CTE}
+SELECT term, doc_id, tf::BIGINT AS tf FROM post
+WHERE levenshtein(term, '{t}') <= {int(max_edits)}
+ORDER BY term, doc_id
+"""
+
+
 def term_stats_sql(min_df: int = 1) -> str:
     return f"""
 WITH {TOKENS_CTE}

@@ -194,6 +194,79 @@ def test_prefix_search_ranking(plain_idx, spark):
     assert got == want and got
 
 
+# --- fuzzy queries -----------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_postings_match_brute_force(plain_idx, spark):
+    """ES fuzzy expansion: postings of every vocab term within 1 edit of
+    the probe, pinned against a pure-Python levenshtein re-derivation."""
+    got = [(r["term"], r["doc_id"], r["tf"]) for r in
+           plain_idx.fuzzy_postings("sow", max_edits=1).collect()]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab_posts = (
+        docs.select("doc_id", F.explode(
+            F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    want = sorted(
+        (r["term"], r["doc_id"], r["tf"]) for r in vocab_posts
+        if _lev("sow", r["term"]) <= 1
+    )
+    assert got == want and got
+    assert len({t for t, _, _ in got}) >= 2  # a real expansion set
+
+
+def test_fuzzy_search_equals_or_query_over_expansions(plain_idx):
+    """fuzzy_search is rank-identical to an OR BM25 over the expansion
+    set (each variant scored with its own df)."""
+    _, exp = plain_idx._fuzzy_expansions("sow", 1, None, 50)
+    assert set(exp) == {"row", "slow"}
+    got = [(r["doc_id"], r["score"]) for r in
+           plain_idx.fuzzy_search("sow", k=10, max_edits=1).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            plain_idx.search(" ".join(exp), k=10, mode="OR",
+                             prune=False).collect()]
+    assert got == want and got
+
+
+def test_fuzzy_max_expansions_caps_closest_first(plain_idx):
+    """With max_expansions=1 only the closest (distance, then term)
+    variant survives — 'row' and 'slow' are both distance 1, so the
+    term tiebreak keeps 'row'."""
+    _, exp = plain_idx._fuzzy_expansions("sow", 1, None, 1)
+    assert exp == ["row"]
+
+
+def test_fuzzy_no_match_is_empty(plain_idx):
+    assert plain_idx.fuzzy_postings("qqqqqq", max_edits=1).count() == 0
+    assert plain_idx.fuzzy_search("qqqqqq", max_edits=1).count() == 0
+
+
+def test_fuzzy_fielded_scoped(seg_idx, mem_idx):
+    """On a fielded index the expansion runs over ONE field's term
+    dictionary and postings come back field-scoped."""
+    got = [(r["term"], r["doc_id"], r["tf"]) for r in
+           seg_idx.fuzzy_postings("sow", max_edits=1, field="title").collect()]
+    vocab = mem_idx.postings.filter(F.col("field") == "title") \
+        .select("term", "doc_id", "tf").collect()
+    want = sorted(
+        (r["term"], r["doc_id"], r["tf"]) for r in vocab
+        if _lev("sow", r["term"]) <= 1
+    )
+    assert got == want and got
+
+
 def test_prefix_respects_tombstones(spark, tmp_path):
     """Deleted docs disappear from prefix expansions (live postings)."""
     from content_rw_elasticsearch_spark.streaming.ingest import apply_upserts
