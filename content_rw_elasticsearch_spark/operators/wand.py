@@ -222,18 +222,33 @@ class SegmentIndex:
                 f"generations <= {min_gen} were folded into the base and "
                 "cannot be reconstructed"
             )
+        # generations retired by a delta-tier merge (ingest.
+        # merge_delta_tier) are skipped like folded ones; the merged
+        # generation tier_min+1 carries their combined state
+        tier_min = int(m.get("tier_min_gen", 0))
+        if as_of_gen is not None and min_gen < tier_min:
+            if as_of_gen == tier_min:
+                # post-tier_min state ≡ the merged generation's state
+                as_of_gen = tier_min + 1
+            elif as_of_gen < tier_min:
+                raise ValueError(
+                    f"as_of_gen={as_of_gen} was tier-merged: generations "
+                    f"<= {tier_min} were squashed into gen {tier_min + 1} "
+                    "and cannot be reconstructed individually"
+                )
+        eff_min = max(min_gen, tier_min)
         gens = []
         # n_docs/avgdl (and field_stats for fielded indexes) come from the
         # HIGHEST committed delta generation — each batch writes the
         # post-batch exact stats — falling back to the base manifest
         stats_src = m
-        best_gen = min_gen
+        best_gen = eff_min
         for name in fs.listdir(path):
             if not (name.startswith("delta_manifest_") and name.endswith(".json")):
                 continue
             dm = storage.read_json(fs, pjoin(path, name))
             g = int(dm["gen"])
-            if not dm.get("committed") or g <= min_gen:
+            if not dm.get("committed") or g <= eff_min:
                 continue
             if as_of_gen is not None and g > as_of_gen:
                 continue

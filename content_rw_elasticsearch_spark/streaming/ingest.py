@@ -358,6 +358,174 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
     return m
 
 
+def merge_delta_tier(spark: SparkSession, index_dir: str) -> dict | None:
+    """Two-level merge (the north rule's delta-tier compaction): squash
+    ALL live delta generations into ONE new generation WITHOUT touching
+    the base — cost is O(delta volume), vs fold_deltas' O(whole index)
+    base rewrite. The Lucene analog is a tiered minor merge of small
+    segments; fold_deltas stays the major merge. Returns the merged
+    generation's manifest, or None with fewer than 2 live generations.
+
+    Semantics: the merged generation M+1 (M = max live gen) carries the
+    latest in-set version of every delta posting and the UNION of the
+    merged tombstone sets. Bumping tombstones to M+1 is sound because
+    after the merge no generation exists strictly between the base and
+    M+1: base postings a merged tombstone used to kill at gen g are
+    killed at M+1 the same way, and in-set supersedes were resolved
+    during the merge itself.
+
+    Crash safety — the commit ladder is correct at every step:
+      1. merged segments + tombstones written under delta/gen={M+1}
+         (uncommitted orphan if we die here; rebuilt on retry);
+      2. delta_manifest_{M+1} committed. A reader that still sees the
+         old generations TOO gets correct results: every old posting's
+         doc has a tombstone in the merged set (apply_upserts writes one
+         per updated doc), so the old copy is dropped at decode — only
+         Lucene-approximate df transiently double-counts;
+      3. index.json gains tier_min_gen=M (atomic) — generations <= M are
+         retired for readers regardless of leftover manifests;
+      4. best-effort GC of the merged generations' dirs + manifests.
+    A crash between 2 and 3 is healed by the next call (it re-commits
+    the pointer without re-merging). Time travel into the merged range
+    raises on load, exactly like pre-fold generations."""
+    from ..operators.segments import SEGMENT_READ_SCHEMA
+    from ..operators.wand import (
+        _DECODED_SCHEMA,
+        _POS_SCHEMA,
+        _decode_blocks,
+        _decode_blocks_positions,
+    )
+
+    fs = storage.fs_for(index_dir, spark)
+    m = storage.read_json(fs, pjoin(index_dir, "index.json"))
+    min_gen = int(m.get("min_gen", 0))
+    tier_min = int(m.get("tier_min_gen", 0))
+    eff_min = max(min_gen, tier_min)
+
+    def _commit_pointer(new_tier_min: int, retired: list[int]) -> None:
+        m["tier_min_gen"] = new_tier_min
+        storage.write_json_atomic(fs, pjoin(index_dir, "index.json"), m)
+        for g in retired:  # best-effort GC; readers ignore leftovers
+            fs.rmtree(pjoin(index_dir, "delta", f"gen={g}"))
+            fs.rmtree(pjoin(index_dir, f"delta_manifest_{g:06d}.json"))
+
+    manifests = {
+        int(storage.read_json(fs, pjoin(index_dir, name))["gen"]): name
+        for name in fs.listdir(index_dir)
+        if name.startswith("delta_manifest_") and name.endswith(".json")
+        and storage.read_json(fs, pjoin(index_dir, name)).get("committed")
+    }
+    # heal a crash between steps 2 and 3: a committed merged generation
+    # whose merged_from are still live — re-commit the pointer only
+    for g, name in sorted(manifests.items()):
+        dm = storage.read_json(fs, pjoin(index_dir, name))
+        mf = dm.get("merged_from")
+        if mf and g > eff_min and max(mf) > tier_min:
+            _commit_pointer(max(mf), [x for x in mf if x > eff_min])
+            return dm
+    gens = sorted(g for g in manifests if g > eff_min)
+    if len(gens) < 2:
+        return None
+    new_gen = gens[-1] + 1
+    t0 = time.time()
+    with_pos = bool(m.get("positions", False))
+
+    seg_parts, tomb_parts = [], []
+    for g in gens:
+        seg_parts.append(
+            spark.read.schema(SEGMENT_READ_SCHEMA)
+            .parquet(pjoin(index_dir, "delta", f"gen={g}", "segments"))
+            .withColumn("gen", F.lit(g))
+        )
+        tomb_parts.append(
+            spark.read.parquet(pjoin(index_dir, "delta", f"gen={g}",
+                                     "tombstones"))
+            .select("doc_id", F.lit(g).alias("tgen"))
+        )
+    segs = seg_parts[0]
+    for p in seg_parts[1:]:
+        segs = segs.unionByName(p)
+    tomb_all = tomb_parts[0]
+    for p in tomb_parts[1:]:
+        tomb_all = tomb_all.unionByName(p)
+    tomb = tomb_all.groupBy("doc_id").agg(F.max("tgen").alias("tgen"))
+
+    decoded = segs.select(
+        "term", "gen", "docs_vb", "tfs_vb", "dlens_vb"
+    ).mapInPandas(_decode_blocks, _DECODED_SCHEMA)
+    live = (
+        decoded.join(F.broadcast(tomb), "doc_id", "left")
+        .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+        .drop("tgen")
+    )
+    if with_pos:
+        # positions rejoin their (term, gen, doc): after the in-set
+        # supersede each (term, doc) survives in exactly one generation
+        pos = segs.select(
+            "term", "gen", "docs_vb", "tfs_vb", "pos_vb"
+        ).mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
+        pos_grp = pos.groupBy("term", "gen", "doc_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("positions")
+        )
+        post = live.join(pos_grp, ["term", "gen", "doc_id"]).select(
+            "term", "doc_id", "tf", "positions", "doc_len")
+    else:
+        post = live.select("term", "doc_id", "tf", "doc_len")
+
+    # salt with the base block plan, unseen terms → one block (the same
+    # rule apply_upserts used when these postings were first written)
+    nbs = spark.read.parquet(
+        pjoin(index_dir, m.get("stats_file", "stats.parquet"))
+    ).select("term", "nb")
+    salted = post.join(F.broadcast(nbs), "term", "left").withColumn(
+        "nb", F.coalesce(F.col("nb"), F.lit(1))
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
+    )
+    merged_dir = pjoin(index_dir, "delta", f"gen={new_gen}")
+    fs.rmtree(merged_dir)  # uncommitted orphan of a crashed merge
+    merged_segs = encode_segments(salted, with_pos, partitions=2).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")
+    )
+    merged_segs.coalesce(2).sortWithinPartitions("bucket", "term", "salt") \
+        .write.partitionBy("bucket").parquet(pjoin(merged_dir, "segments"))
+    tomb.select("doc_id").write.parquet(pjoin(merged_dir, "tombstones"))
+
+    posting_count = int(
+        spark.read.schema(SEGMENT_READ_SCHEMA)
+        .parquet(pjoin(merged_dir, "segments"))
+        .agg(F.sum("count")).collect()[0][0] or 0
+    )
+    # cumulative stats: the merge does not change the live doc set, so
+    # the highest merged generation's exact post-batch stats still hold
+    top = storage.read_json(fs, pjoin(index_dir, manifests[gens[-1]]))
+    manifest = {
+        "gen": new_gen,
+        "snapshot_id": top.get("snapshot_id", ""),
+        "n_docs": int(top["n_docs"]),
+        "avgdl": float(top["avgdl"]),
+        "n_upserts": sum(
+            int(storage.read_json(
+                fs, pjoin(index_dir, manifests[g])).get("n_upserts", 0))
+            for g in gens),
+        "n_deletes": sum(
+            int(storage.read_json(
+                fs, pjoin(index_dir, manifests[g])).get("n_deletes", 0))
+            for g in gens),
+        "posting_count": posting_count,
+        "merged_from": gens,
+        **({"field_stats": top["field_stats"]}
+           if top.get("field_stats") is not None else {}),
+        "build_metrics": {"secs": round(time.time() - t0, 3)},
+        "committed": True,
+    }
+    storage.write_json_atomic(
+        fs, pjoin(index_dir, f"delta_manifest_{new_gen:06d}.json"), manifest
+    )
+    _commit_pointer(gens[-1], gens)
+    return manifest
+
+
 def stream_ingest(
     spark: SparkSession,
     stream_df: DataFrame,
