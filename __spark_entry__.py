@@ -133,12 +133,14 @@ def _bm25_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(spec["query"], k=spec["k"], mode=spec["mode"])
 
 
-def _phrase_query(phrase: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+def _phrase_query(phrase: str, spark: SparkSession, sf_dir: str,
+                  slop: int = 0) -> DataFrame:
     """Phrase match via the positional segment store (operators/wand.py
     phrase_search): salt-class-pruned decode of only the phrase terms'
-    position lists — the scale path, not a corpus re-tokenize."""
+    position lists — the scale path, not a corpus re-tokenize. ``slop``
+    > 0 is the ordered proximity form (ES match_phrase slop)."""
     seg = _segment_index_for(spark, sf_dir, with_positions=True)
-    return seg.phrase_search(phrase)
+    return seg.phrase_search(phrase, slop=slop)
 
 
 def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,6 +191,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"segment_{name}"] = functools.partial(_wand_query, name, False)
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
+    # minimum_should_match (the ES bool-query should knob) union-gated
+    # into the or_large_k slot (50-query cap): 'or' = the original plain
+    # OR gate; 'msm2' = the logical plan keeping docs matching >= 2 of
+    # the 3 terms; 'msm2_wand' = the PRUNED segment store whose
+    # feasibility lattice tightens to classes where >= 2 terms have
+    # postings — all three rank-identical to the same oracle predicate.
+    def _or_large_k_variants(spark, sf_dir):
+        from pyspark.sql import functions as F
+        spec = REFERENCE_QUERIES["or_large_k"]
+        idx = _index_for(spark, sf_dir)
+        seg = _segment_index_for(spark, sf_dir)
+        a = idx.search(spec["query"], k=spec["k"], mode="OR").withColumn(
+            "variant", F.lit("or"))
+        b = idx.search(spec["query"], k=spec["k"], mode="OR",
+                       min_should_match=2).withColumn("variant", F.lit("msm2"))
+        c = seg.search(spec["query"], k=spec["k"], mode="OR", prune=True,
+                       min_should_match=2).withColumn(
+            "variant", F.lit("msm2_wand"))
+        return a.unionByName(b).unionByName(c)
+
+    out["bm25_or_large_k"] = _or_large_k_variants
     # NOT semantics (§2.G): AND query minus docs containing excluded terms
     def _bm25_not(spark, sf_dir):
         from content_rw_elasticsearch_spark.operators.bm25 import bm25_topk
@@ -238,14 +261,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["segment_fielded"] = _segment_fielded
 
-    # both phrase shapes in one gated query (see the 50-query cap note)
+    # all phrase shapes in one gated query (see the 50-query cap note):
+    # two exact phrases plus two PROXIMITY legs (slop>0 — ordered
+    # within-window tuples): slop=1 on "customer group" matches the
+    # one-token-interleaved "customer data group" docs adjacency can't,
+    # and slop=2 on "hash join" also counts stretched tuples.
     def _phrase_matches(spark, sf_dir):
         from pyspark.sql import functions as F
-        a = _phrase_query("hash join", spark, sf_dir).withColumn(
-            "phrase", F.lit("hash join"))
-        b = _phrase_query("customer data group", spark, sf_dir).withColumn(
-            "phrase", F.lit("customer data group"))
-        return a.unionByName(b)
+        legs = [("hash join", 0), ("customer data group", 0),
+                ("customer group", 1), ("hash join", 2)]
+        parts = [
+            _phrase_query(p, spark, sf_dir, slop=s)
+            .withColumn("phrase", F.lit(p)).withColumn("slop", F.lit(s))
+            for p, s in legs
+        ]
+        cur = parts[0]
+        for p in parts[1:]:
+            cur = cur.unionByName(p)
+        return cur
 
     out["phrase_matches"] = _phrase_matches
     out["index_term_postings"] = _term_postings
@@ -388,6 +421,17 @@ def oracle_sql() -> dict[str, str]:
         if name in ("and_two", "or_three"):
             out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
+    # or_large_k carries the minimum_should_match variants; the msm SQL
+    # (HAVING count >= 2) gates BOTH the logical and the pruned-WAND legs
+    _spec = REFERENCE_QUERIES["or_large_k"]
+    _plain = oracle.bm25_topk_sql(_spec["query"], k=_spec["k"], mode="OR")
+    _msm = oracle.bm25_topk_sql(_spec["query"], k=_spec["k"], mode="OR",
+                                min_should_match=2)
+    out["bm25_or_large_k"] = (
+        "SELECT *, 'or' AS variant FROM (" + _plain
+        + ") UNION ALL SELECT *, 'msm2' AS variant FROM (" + _msm
+        + ") UNION ALL SELECT *, 'msm2_wand' AS variant FROM (" + _msm + ")"
+    )
     out["bm25_not"] = oracle.bm25_topk_sql("hash join", k=10, mode="AND",
                                            not_terms=["row"])
     # code-analyzer BM25: independent pure-Python golden (VALUES literal)
@@ -411,11 +455,11 @@ def oracle_sql() -> dict[str, str]:
                                  {"title": 2.0, "body": 1.0},
                                  k=10, mode="AND") + ")"
     )
-    out["phrase_matches"] = (
-        "SELECT *, 'hash join' AS phrase FROM ("
-        + oracle.phrase_match_sql("hash join")
-        + ") UNION ALL SELECT *, 'customer data group' AS phrase FROM ("
-        + oracle.phrase_match_sql("customer data group") + ")"
+    out["phrase_matches"] = " UNION ALL ".join(
+        f"SELECT *, '{p}' AS phrase, {s} AS slop FROM ("
+        + oracle.phrase_match_sql(p, slop=s) + ")"
+        for p, s in [("hash join", 0), ("customer data group", 0),
+                     ("customer group", 1), ("hash join", 2)]
     )
     out["index_term_postings"] = (
         "SELECT 'term' AS variant, 'dup' AS term, doc_id, tf FROM ("

@@ -45,10 +45,12 @@ class InMemoryIndex:
         return cls(postings=post, stats=stats, n_docs=cs.n_docs,
                    avgdl=cs.avgdl, analyzer=analyzer)
 
-    def search(self, query: str, k: int = 10, mode: str = "AND") -> DataFrame:
+    def search(self, query: str, k: int = 10, mode: str = "AND",
+               min_should_match: int | None = None) -> DataFrame:
         return bm25.bm25_topk(
             self.postings, self.stats, self.n_docs, self.avgdl,
             query, k=k, mode=mode, analyzer=self.analyzer,
+            min_should_match=min_should_match,
         )
 
     def term_lookup(self, term: str) -> DataFrame:

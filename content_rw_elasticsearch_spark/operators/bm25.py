@@ -60,11 +60,15 @@ def bm25_topk(
     mode: str = "AND",
     analyzer: str = "simple",
     not_terms: list[str] | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for one query over a (term, doc_id, tf, doc_len)
     postings DataFrame. `stats` is the (term, df) table. ``not_terms``
     excludes docs containing any of them (left_anti set difference,
     SURVEY.md §2.G) BEFORE the top-k cut, so the result still fills k.
+    ``min_should_match`` (OR mode; the ES bool-query knob of the same
+    name) keeps only docs matching at least that many distinct query
+    terms — AND is the msm == len(terms) corner, plain OR is msm == 1.
 
     Output schema: (doc_id, score) with score rounded to ROUND_DECIMALS,
     ordered by (score desc, doc_id asc) — deterministic, oracle-comparable.
@@ -88,6 +92,8 @@ def bm25_topk(
     )
     if mode.upper() == "AND":
         scored = scored.filter(F.col("nterms") == len(terms))
+    elif min_should_match is not None:
+        scored = scored.filter(F.col("nterms") >= int(min_should_match))
     if not_terms:
         neg = postings.filter(
             F.col("term").isin(sorted(set(not_terms)))

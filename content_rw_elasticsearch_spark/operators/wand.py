@@ -435,7 +435,8 @@ class SegmentIndex:
                n_terms_required: int | None, k: int,
                keep_classes: list[int] | None = None,
                n_docs: int | None = None,
-               avgdl: float | None = None) -> DataFrame:
+               avgdl: float | None = None,
+               min_terms: int | None = None) -> DataFrame:
         tomb = self._tombstones()
         if tomb is not None:
             decoded = (
@@ -465,6 +466,8 @@ class SegmentIndex:
         )
         if n_terms_required is not None:
             scored = scored.filter(F.col("nterms") == n_terms_required)
+        if min_terms is not None:
+            scored = scored.filter(F.col("nterms") >= min_terms)
         return (
             scored.select("doc_id", F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -473,10 +476,16 @@ class SegmentIndex:
 
     # -- public -----------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "AND",
-               prune: bool = True, field: str | None = None) -> DataFrame:
+               prune: bool = True, field: str | None = None,
+               min_should_match: int | None = None) -> DataFrame:
         """BM25 top-k. On a fielded index ``field`` picks the scope
         (default: the manifest's default_field); terms become composite
-        ``field\x1fterm`` keys and BM25 uses that field's docCount/avgdl."""
+        ``field\x1fterm`` keys and BM25 uses that field's docCount/avgdl.
+        ``min_should_match`` (OR mode; the ES bool-query knob) keeps only
+        docs matching >= that many distinct query terms; the block-max
+        pruning lattice tightens with it — a salt class is feasible only
+        if at least msm of the terms have postings there (the AND lattice
+        is the msm == len(terms) corner of the same rule)."""
         prefix, n_docs, avgdl = self._resolve_field(field)
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
@@ -495,18 +504,26 @@ class SegmentIndex:
         if is_and and found != set(terms):
             return empty  # a required term is absent from the corpus
         terms = sorted(found)
+        msm = None
+        if not is_and and min_should_match is not None:
+            msm = int(min_should_match)
+            if msm <= 1:
+                msm = None  # plain OR
+            elif msm > len(terms):
+                return empty  # fewer matchable terms than required
         # Lucene-faithful df: includes superseded postings until fold
         term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
         required = len(terms) if is_and else None
 
         if not prune or sum(term_df.values()) <= self.prune_min_postings:
             return self._score(self._decode(terms, None), term_df, required, k,
-                               n_docs=n_docs, avgdl=avgdl)
+                               n_docs=n_docs, avgdl=avgdl, min_terms=msm)
 
         # ---- block-max pruning math (driver-side, metadata only) ----
         nb_all = self.nb_max
         ub = np.zeros(nb_all)                      # score upper bound per class
         present = np.ones(nb_all, dtype=bool)      # AND feasibility per class
+        present_cnt = np.zeros(nb_all, dtype=int)  # msm feasibility per class
         cnt_min = np.full(nb_all, np.inf)
         cnt_max = np.zeros(nb_all)
         g = np.arange(nb_all)
@@ -528,7 +545,15 @@ class SegmentIndex:
             cnt_min = np.minimum(cnt_min, ct_full)
             cnt_max = np.maximum(cnt_max, ct_full)
             present &= ct_full > 0
-        feasible = present if is_and else ub > 0
+            present_cnt += (ct_full > 0).astype(int)
+        if is_and:
+            feasible = present
+        elif msm is not None:
+            # a doc matching >= msm terms lives in a class where >= msm
+            # of the terms have postings — same lattice, looser corner
+            feasible = present_cnt >= msm
+        else:
+            feasible = ub > 0
         est = cnt_min if is_and else cnt_max
         order = [int(x) for x in np.argsort(-ub) if feasible[int(x)]]
         if not order:
@@ -545,7 +570,7 @@ class SegmentIndex:
         seed_keys = self._keys_for_classes(meta, seed)
         seed_top = self._score(
             self._decode(terms, seed_keys), term_df, required, k,
-            keep_classes=seed, n_docs=n_docs, avgdl=avgdl,
+            keep_classes=seed, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
         ).collect()
         if len(seed_top) >= k:
             # θ is derived from a ROUNDED score; subtract a half-ulp of the
@@ -559,18 +584,31 @@ class SegmentIndex:
         keep_keys = self._keys_for_classes(meta, keep)
         return self._score(
             self._decode(terms, keep_keys), term_df, required, k,
-            keep_classes=keep, n_docs=n_docs, avgdl=avgdl,
+            keep_classes=keep, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
         )
 
-    def phrase_search(self, phrase: str, field: str | None = None) -> DataFrame:
-        """Exact phrase match over the positional segment store →
+    def phrase_search(self, phrase: str, field: str | None = None,
+                      slop: int = 0) -> DataFrame:
+        """Phrase match over the positional segment store →
         (doc_id, phrase_tf). Decodes positions ONLY for the phrase's
         terms, restricted to salt classes where every term is present
         (AND feasibility over the aligned salting — the same pruning
         lattice the scorer uses), then chains adjacency equi-joins.
         Requires an index built with with_positions=True. On a fielded
         index the match is scoped to ``field`` (positions are per-field
-        token offsets, so phrases never span fields)."""
+        token offsets, so phrases never span fields).
+
+        ``slop`` > 0 is the proximity query (ES match_phrase slop, ordered
+        form): a match is any tuple of strictly increasing positions —
+        one per term, in query order — whose last term sits within
+        ``len(terms) - 1 + slop`` tokens of the first, i.e. up to ``slop``
+        extra tokens interleave. phrase_tf counts such tuples. slop == 0
+        is exactly the adjacency chain (strictly increasing positions with
+        last == first + n - 1 pigeonholes every gap to 1), kept as
+        equi-joins for the tighter physical plan. Each intermediate join
+        is bounded by ``p_i <= p0 + i + slop`` — implied by the final
+        window bound plus strict increase (p_{n-1} >= p_i + (n-1-i)), so
+        the per-step pruning never changes results."""
         if not self.positions:
             raise ValueError(
                 "phrase_search requires a positional index — rebuild with "
@@ -618,10 +656,15 @@ class SegmentIndex:
             nxt = decoded.filter(F.col("term") == t).select(
                 F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")
             )
+            if slop <= 0:
+                pos_cond = F.col(f"p{i}") == F.col("p0") + i
+            else:
+                pos_cond = (F.col(f"p{i}") > F.col(f"p{i - 1}" if i > 1 else "p0")) & (
+                    F.col(f"p{i}") <= F.col("p0") + i + slop
+                )
             cur = cur.join(
                 nxt,
-                (F.col("doc_id") == F.col(f"d{i}"))
-                & (F.col(f"p{i}") == F.col("p0") + i),
+                (F.col("doc_id") == F.col(f"d{i}")) & pos_cond,
             ).drop(f"d{i}")
         return (
             cur.groupBy("doc_id")

@@ -37,12 +37,18 @@ def _sql_str_list(terms: list[str]) -> str:
 
 
 def bm25_topk_sql(query: str, k: int = 10, mode: str = "AND",
-                  not_terms: list[str] | None = None) -> str:
+                  not_terms: list[str] | None = None,
+                  min_should_match: int | None = None) -> str:
     """DuckDB SQL computing the same top-k as operators/bm25.bm25_topk."""
     terms = sorted(set(analyze_query_py(query, "simple")))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
-    having = f"HAVING count(*) = {len(terms)}" if mode.upper() == "AND" else ""
+    if mode.upper() == "AND":
+        having = f"HAVING count(*) = {len(terms)}"
+    elif min_should_match is not None and min_should_match > 1:
+        having = f"HAVING count(*) >= {int(min_should_match)}"
+    else:
+        having = ""
     not_clause = ""
     if not_terms:
         lst = _sql_str_list(sorted(set(not_terms)))
@@ -767,18 +773,28 @@ ORDER BY uid
 """
 
 
-def phrase_match_sql(phrase: str) -> str:
+def phrase_match_sql(phrase: str, slop: int = 0) -> str:
     """Phrase occurrences per doc: tokens at consecutive positions.
     Parallel unnest (toks + 0-based position range) zips positionally in
-    DuckDB, mirroring Spark's posexplode."""
+    DuckDB, mirroring Spark's posexplode. ``slop`` > 0 is the ordered
+    proximity form (same tuple semantics as SegmentIndex.phrase_search):
+    strictly increasing positions, each bounded by p0 + i + slop."""
     terms = analyze_query_py(phrase, "simple")
     conds = " AND ".join(
         f"p{i}.term = '{t.replace(chr(39), chr(39) * 2)}'" for i, t in enumerate(terms)
     )
-    joins = "".join(
-        f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
-        for i in range(1, len(terms))
-    )
+    if slop <= 0:
+        joins = "".join(
+            f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+    else:
+        joins = "".join(
+            f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.pos > p{i - 1}.pos"
+            f" AND p{i}.pos <= p0.pos + {i} + {int(slop)}"
+            for i in range(1, len(terms))
+        )
     return f"""
 WITH {TOKENS_CTE},
 pos AS (
