@@ -526,6 +526,25 @@ def merge_delta_tier(spark: SparkSession, index_dir: str) -> dict | None:
     return manifest
 
 
+def maybe_compact(spark: SparkSession, index_dir: str,
+                  max_gens: int = 8) -> dict | None:
+    """Tiered merge policy (the Lucene TieredMergePolicy analog): when
+    the number of LIVE delta generations reaches ``max_gens``, squash
+    them into one via merge_delta_tier; otherwise no-op. Every query
+    scans each live generation's segment files, so an unbounded ingest
+    loop grows read amplification linearly — this bounds it at O(1)
+    amortized merge cost per batch (each posting is re-merged once per
+    max_gens batches), with fold_deltas remaining the explicit major
+    merge. Returns the merged manifest or None."""
+    fs = storage.fs_for(index_dir, spark)
+    m = storage.read_json(fs, pjoin(index_dir, "index.json"))
+    eff_min = max(int(m.get("min_gen", 0)), int(m.get("tier_min_gen", 0)))
+    live = [g for g in _committed_gens(fs, index_dir) if g > eff_min]
+    if len(live) < max_gens:
+        return None
+    return merge_delta_tier(spark, index_dir)
+
+
 def stream_ingest(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -535,16 +554,23 @@ def stream_ingest(
     doc_col: str = "doc_id",
     deleted_col: str | None = None,
     fields: dict | None = None,
+    compact_after: int | None = None,
 ):
     """Structured Streaming wrapper: micro-batch upserts via foreachBatch
     (the Kafka-consumer analog). Use .trigger(availableNow) semantics for
     drain-and-stop; checkpointing makes restarts resume from offsets the
     way the reference resumes from consumer-group offsets. ``fields``
-    must be the build's field mapping when the index is fielded."""
+    must be the build's field mapping when the index is fielded.
+    ``compact_after`` turns on the tiered merge policy: after any batch
+    that leaves >= that many live delta generations, they are squashed
+    into one (see maybe_compact). Replay-safe: a replayed batch after a
+    crash sees the already-merged state and upserts idempotently on top."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         apply_upserts(spark, index_dir, batch_df, text_col, doc_col,
                       deleted_col, fields=fields)
+        if compact_after is not None:
+            maybe_compact(spark, index_dir, max_gens=compact_after)
 
     return (
         stream_df.writeStream.foreachBatch(handle)

@@ -187,3 +187,71 @@ def test_tier_merge_fielded_norms(spark, tmp_path):
     after = [(r["doc_id"], r["score"]) for r in
              idx.search("tier field", field="title", k=10).collect()]
     assert after == before and after
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Tiered merge policy: maybe_compact squashes only when live
+    generations reach max_gens, keeping read amplification bounded while
+    query state stays identical to an uncompacted twin."""
+    from content_rw_elasticsearch_spark.streaming.ingest import maybe_compact
+
+    out_a, out_b = str(tmp_path / "pol_a"), str(tmp_path / "pol_b")
+    for out in (out_a, out_b):
+        _build(spark, out, text_col="text")
+    batches = [
+        [(1, "policy merge alpha", False)],
+        [(2, "policy merge beta", False)],
+        [(1, "policy merge alpha two", False)],
+        [(9001, "policy merge fresh", False)],
+    ]
+    for rows in batches:
+        apply_upserts(spark, out_a, _batch(spark, rows),
+                      "content", "doc_id", "deleted")
+        man = maybe_compact(spark, out_a, max_gens=3)
+        n_live = len(SegmentIndex.load(spark, out_a).generations)
+        assert n_live <= 3, f"policy let {n_live} generations accumulate"
+        apply_upserts(spark, out_b, _batch(spark, rows),
+                      "content", "doc_id", "deleted")
+    a, b = SegmentIndex.load(spark, out_a), SegmentIndex.load(spark, out_b)
+    assert len(a.generations) < len(b.generations) == 4
+    got = sorted((r["doc_id"], r["tf"]) for r in a.term_lookup("policy").collect())
+    want = sorted((r["doc_id"], r["tf"]) for r in b.term_lookup("policy").collect())
+    assert got == want and got
+    assert (a.n_docs, a.avgdl) == (b.n_docs, b.avgdl)
+
+
+def test_stream_ingest_compact_after(spark, tmp_path):
+    """compact_after wires the policy into the streaming foreachBatch
+    loop: after the drain the index holds fewer live generations than
+    microbatches, with all streamed docs searchable."""
+    import os
+
+    from content_rw_elasticsearch_spark.streaming.ingest import stream_ingest
+
+    out = str(tmp_path / "stream_tier")
+    _build(spark, out, text_col="text")
+    src = str(tmp_path / "src")
+    for i, rows in enumerate([
+        [(9101, "tierstream one", False)],
+        [(9102, "tierstream two", False)],
+        [(9103, "tierstream three", False)],
+    ], start=1):
+        spark.createDataFrame(
+            rows, "doc_id long, content string, deleted boolean"
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+        # pin mtimes so FileStreamSource batch order is deterministic
+        for root, _, names in os.walk(f"{src}/b{i}"):
+            for n in names:
+                os.utime(os.path.join(root, n), (1_700_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, content string, deleted boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_ingest(spark, stream, out, str(tmp_path / "ckpt"),
+                      "content", "doc_id", "deleted", compact_after=2)
+    q.awaitTermination(180)
+    idx = SegmentIndex.load(spark, out)
+    assert len(idx.generations) < 3
+    got = {r["doc_id"] for r in idx.search("tierstream", k=10, mode="AND").collect()}
+    assert got == {9101, 9102, 9103}
