@@ -191,6 +191,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"segment_{name}"] = functools.partial(_wand_query, name, False)
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
+
+    # segment_or_three carries the ES-highlighter analog on top of the
+    # same exhaustive (prune=False) OR ranking: score still compared to
+    # the same BM25 oracle, PLUS per-hit best-window snippet +
+    # n_window_terms from the positional store (operators/highlight.py)
+    # — a strict strengthening of the original gate inside the 50 cap.
+    def _segment_or_highlight(spark, sf_dir):
+        spec = REFERENCE_QUERIES["or_three"]
+        seg = _segment_index_for(spark, sf_dir, with_positions=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return seg.highlight(spec["query"], docs, text_col="text",
+                             doc_col="doc_id", k=spec["k"], mode="OR",
+                             prune=False)
+
+    out["segment_or_three"] = _segment_or_highlight
     # minimum_should_match (the ES bool-query should knob) union-gated
     # into the or_large_k slot (50-query cap): 'or' = the original plain
     # OR gate; 'msm2' = the logical plan keeping docs matching >= 2 of
@@ -418,9 +433,12 @@ def oracle_sql() -> dict[str, str]:
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         spec = REFERENCE_QUERIES[name]
         sql = oracle.bm25_topk_sql(spec["query"], k=spec["k"], mode=spec["mode"])
-        if name in ("and_two", "or_three"):
+        if name == "and_two":
             out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
+    _spec = REFERENCE_QUERIES["or_three"]
+    out["segment_or_three"] = oracle.highlight_sql(
+        _spec["query"], k=_spec["k"], mode="OR")
     # or_large_k carries the minimum_should_match variants; the msm SQL
     # (HAVING count >= 2) gates BOTH the logical and the pruned-WAND legs
     _spec = REFERENCE_QUERIES["or_large_k"]

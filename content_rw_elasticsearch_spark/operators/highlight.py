@@ -1,0 +1,88 @@
+"""Snippet highlighting: best-window extraction over positional postings.
+
+The ES highlighter analog (reference schema consumers render result
+snippets; the reference itself delegates highlighting to Elasticsearch —
+configs/referenceSchema.json carries the analyzed fields it runs on).
+Given a top-k result and the positional postings of the query terms,
+pick — per hit — the ``window``-token span containing the most DISTINCT
+query terms (leftmost on ties) and render it from the corpus text with
+the same analyzer tokenization the index used.
+
+Scale shape: the query terms' positions are already the data WAND
+decoded; the top-k side is k rows (broadcast); the corpus join touches
+only k documents (pushed doc_id semi-join). Window selection is a
+bounded range self-join (positions of query terms within one doc), all
+JVM — no Python in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import tokens_simple
+
+
+def best_windows(qpos: DataFrame, window: int) -> DataFrame:
+    """(doc_id, term, pos) → one (doc_id, start, n_window_terms) per doc:
+    the window-sized span [start, start+window-1] anchored at a term
+    position that covers the most distinct query terms; ties resolve to
+    the smallest start (deterministic, oracle-matchable)."""
+    a, b = qpos.alias("a"), qpos.alias("b")
+    wins = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & F.col("b.pos").between(F.col("a.pos"),
+                                     F.col("a.pos") + window - 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"),
+                 F.col("a.pos").alias("start"))
+        .agg(F.countDistinct(F.col("b.term")).alias("n_window_terms"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_window_terms"), F.asc("start"))
+    return wins.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1).drop("rn")
+
+
+def highlight_topk(
+    topk: DataFrame,
+    pos_post: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str,
+    doc_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Attach (snippet, n_window_terms) to a (doc_id, score) top-k.
+
+    ``pos_post`` is (term, doc_id, pos) positional postings (any superset
+    of the query terms' postings); ``docs`` carries the source text. The
+    snippet is the analyzed-token window joined by single spaces — the
+    same tokens the index matched, so the oracle replays it exactly.
+    """
+    ids = topk.select("doc_id")
+    qpos = (
+        pos_post.filter(F.col("term").isin(sorted(set(terms))))
+        .join(F.broadcast(ids), "doc_id")
+        .select("doc_id", "term", "pos")
+    )
+    best = best_windows(qpos, window)
+    snip = (
+        docs.select(F.col(doc_col).alias("doc_id"),
+                    tokens_simple(text_col).alias("toks"))
+        .join(F.broadcast(best), "doc_id")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, window)
+            ).alias("snippet"),
+            "n_window_terms",
+        )
+    )
+    return (
+        topk.join(snip, "doc_id")
+        .select("doc_id", "score", "snippet", "n_window_terms")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

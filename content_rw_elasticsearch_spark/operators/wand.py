@@ -672,6 +672,55 @@ class SegmentIndex:
             .orderBy("doc_id")
         )
 
+    def highlight(self, query: str, docs: DataFrame,
+                  text_col: str = "content", doc_col: str = "doc_id",
+                  k: int = 10, mode: str = "AND",
+                  window: int = 8, prune: bool = True) -> DataFrame:
+        """Top-k with snippets (the ES highlighter analog): BM25 search,
+        then per hit the ``window``-token span covering the most distinct
+        query terms, rendered from ``docs``' text with the index's own
+        tokenization (see operators/highlight.py). Positions come from
+        the positional store for JUST the query terms — the same data
+        the phrase path decodes — so no corpus re-tokenize; the ``docs``
+        join touches only the k hits. Requires with_positions=True;
+        non-fielded indexes only (a fielded snippet would need the
+        field's own source text)."""
+        if not self.positions:
+            raise ValueError(
+                "highlight requires a positional index — rebuild with "
+                "build_segments(..., with_positions=True)"
+            )
+        topk = self.search(query, k=k, mode=mode, prune=prune)
+        terms = sorted(set(analyze_query_py(query, self.analyzer)))
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, snippet string, n_window_terms long"
+        )
+        if not terms:
+            return empty
+        meta = self._meta(terms)
+        if meta.empty:
+            return empty
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = (
+            self._segments(sorted(set(meta["term"].unique())))
+            .select("term", "gen", "docs_vb", "tfs_vb", "pos_vb")
+            .coalesce(max(1, par))
+            .mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        from .highlight import highlight_topk
+
+        return highlight_topk(
+            topk, decoded.select("term", "doc_id", "pos"), docs, terms,
+            text_col, doc_col, window,
+        )
+
     def search_multi(self, query: str, weights: dict[str, float],
                      k: int = 10, mode: str = "AND") -> DataFrame:
         """Weighted multi-field BM25 top-k over the persisted fielded

@@ -810,6 +810,51 @@ ORDER BY p0.doc_id
 """
 
 
+def highlight_sql(query: str, k: int = 10, mode: str = "AND",
+                  window: int = 8) -> str:
+    """DuckDB replay of SegmentIndex.highlight / operators/highlight.py:
+    BM25 top-k + per-hit best ``window``-token span (most distinct query
+    terms, leftmost tie-break), snippet = analyzed tokens space-joined."""
+    terms = sorted(set(analyze_query_py(query, "simple")))
+    lst = _sql_str_list(terms)
+    topk = bm25_topk_sql(query, k=k, mode=mode)
+    return f"""
+WITH {TOKENS_CTE},
+topk AS ({topk}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM docs
+  WHERE doc_id IN (SELECT doc_id FROM topk)
+),
+qpos AS (
+  SELECT * FROM pos WHERE term IN (SELECT unnest({lst}))
+),
+wins AS (
+  SELECT a.doc_id, a.pos AS start, count(DISTINCT b.term) AS n_window_terms
+  FROM qpos a
+  JOIN qpos b ON b.doc_id = a.doc_id
+            AND b.pos BETWEEN a.pos AND a.pos + {window} - 1
+  GROUP BY a.doc_id, a.pos
+),
+best AS (
+  SELECT doc_id, start, n_window_terms FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY n_window_terms DESC, start ASC) AS rn
+    FROM wins
+  ) WHERE rn = 1
+)
+SELECT t.doc_id, t.score,
+       array_to_string(list_slice(d.toks, b.start + 1, b.start + {window}), ' ')
+         AS snippet,
+       b.n_window_terms::BIGINT AS n_window_terms
+FROM topk t
+JOIN best b USING (doc_id)
+JOIN docs d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC
+"""
+
+
 def corpus_stats_sql() -> str:
     return f"""
 WITH {TOKENS_CTE}
