@@ -247,12 +247,14 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
     # the apply_upserts delta-generation overhead SCALE.md argues about.
     ingest_times: list[float] = []
     fold_sec = None
+    tier_merge_sec = None
     if not synth_docs:
         from pyspark.sql import functions as F
 
         from content_rw_elasticsearch_spark.streaming.ingest import (
             apply_upserts,
             fold_deltas,
+            merge_delta_tier,
         )
 
         for b in range(3):
@@ -267,6 +269,13 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
             t = time.time()
             apply_upserts(spark, out_dir, updates, text_col=text_col)
             ingest_times.append(round(time.time() - t, 4))
+        # delta-tier merge (minor merge, O(delta volume)) timed BEFORE the
+        # fold so the two compaction levels get separate numbers; fold then
+        # runs on the merged state (fold∘merge ≡ fold, pinned by
+        # test_fold_after_tier_merge_equals_plain_fold)
+        t = time.time()
+        merge_delta_tier(spark, out_dir)
+        tier_merge_sec = round(time.time() - t, 4)
         t = time.time()
         fold_deltas(spark, out_dir)
         fold_sec = round(time.time() - t, 4)
@@ -289,6 +298,7 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
         "pruned_p50_sec": best["pruned_p50_sec"],
         "build_metrics": best["build_metrics"],
         "ingest_batch_secs": ingest_times,
+        "tier_merge_sec": tier_merge_sec,
         "fold_sec": fold_sec,
         "fielded_build_sec": fielded_build_sec,
         "positional_build_sec": positional_build_sec,
