@@ -150,7 +150,9 @@ def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment store (pushed StringStartsWith + term-sorted row-group
     pruning — see SegmentIndex.prefix_postings); 'fuzzy' = the ES fuzzy
     expansion (JVM levenshtein over the term dictionary, metadata-only
-    scan — see SegmentIndex.fuzzy_postings)."""
+    scan — see SegmentIndex.fuzzy_postings); 'regexp' = the ES regexp
+    expansion (anchored full-match over the term dictionary — see
+    SegmentIndex.regexp_postings)."""
     from pyspark.sql import functions as F
     seg = _segment_index_for(spark, sf_dir)
     a = _index_for(spark, sf_dir).term_lookup("dup").select(
@@ -160,7 +162,9 @@ def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("prefix").alias("variant"), "term", "doc_id", "tf")
     c = seg.fuzzy_postings("sow", max_edits=1).select(
         F.lit("fuzzy").alias("variant"), "term", "doc_id", "tf")
-    return a.unionByName(b).unionByName(c)
+    d = seg.regexp_postings("jo.n|dup").select(
+        F.lit("regexp").alias("variant"), "term", "doc_id", "tf")
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,6 +196,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
 
+    # wand_or_three carries search_after keyset pagination on top of the
+    # same pruned OR plan: page 1 (k=5) + page 2 (k=5, after = page 1's
+    # last (score, doc_id) cursor) must EQUAL the one-shot top-10 — the
+    # oracle pages the same SQL with row_number. The page-1 collect is
+    # the inherent sequentiality of cursor pagination (k rows, bounded).
+    def _wand_or_paged(spark, sf_dir):
+        from pyspark.sql import functions as F
+        spec = REFERENCE_QUERIES["or_three"]
+        seg = _segment_index_for(spark, sf_dir)
+        half = spec["k"] // 2
+        p1 = seg.search(spec["query"], k=half, mode="OR", prune=True)
+        last = p1.collect()[-1]
+        p2 = seg.search(spec["query"], k=spec["k"] - half, mode="OR",
+                        prune=True, after=(last["score"], last["doc_id"]))
+        return p1.withColumn("page", F.lit(1)).unionByName(
+            p2.withColumn("page", F.lit(2)))
+
+    out["wand_or_three"] = _wand_or_paged
     # segment_or_three carries the ES-highlighter analog on top of the
     # same exhaustive (prune=False) OR ranking: score still compared to
     # the same BM25 oracle, PLUS per-hit best-window snippet +
@@ -439,6 +461,14 @@ def oracle_sql() -> dict[str, str]:
     _spec = REFERENCE_QUERIES["or_three"]
     out["segment_or_three"] = oracle.highlight_sql(
         _spec["query"], k=_spec["k"], mode="OR")
+    _half = _spec["k"] // 2
+    out["wand_or_three"] = (
+        "SELECT doc_id, score, ((rn - 1) // " + str(_half)
+        + " + 1)::INT AS page FROM (SELECT *, row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS rn FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"], mode="OR")
+        + "))"
+    )
     # or_large_k carries the minimum_should_match variants; the msm SQL
     # (HAVING count >= 2) gates BOTH the logical and the pruned-WAND legs
     _spec = REFERENCE_QUERIES["or_large_k"]
@@ -485,7 +515,9 @@ def oracle_sql() -> dict[str, str]:
         + ") UNION ALL SELECT 'prefix' AS variant, term, doc_id, tf FROM ("
         + oracle.prefix_postings_sql("s")
         + ") UNION ALL SELECT 'fuzzy' AS variant, term, doc_id, tf FROM ("
-        + oracle.fuzzy_postings_sql("sow", max_edits=1) + ")"
+        + oracle.fuzzy_postings_sql("sow", max_edits=1)
+        + ") UNION ALL SELECT 'regexp' AS variant, term, doc_id, tf FROM ("
+        + oracle.regexp_postings_sql("jo.n|dup") + ")"
     )
     out["index_stats"] = (
         "SELECT t.term, t.df, c.n_docs, c.avgdl FROM ("

@@ -436,7 +436,8 @@ class SegmentIndex:
                keep_classes: list[int] | None = None,
                n_docs: int | None = None,
                avgdl: float | None = None,
-               min_terms: int | None = None) -> DataFrame:
+               min_terms: int | None = None,
+               after: "tuple[float, int] | None" = None) -> DataFrame:
         tomb = self._tombstones()
         if tomb is not None:
             decoded = (
@@ -468,16 +469,24 @@ class SegmentIndex:
             scored = scored.filter(F.col("nterms") == n_terms_required)
         if min_terms is not None:
             scored = scored.filter(F.col("nterms") >= min_terms)
-        return (
-            scored.select("doc_id", F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        res = scored.select(
+            "doc_id", F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
+        if after is not None:
+            # keyset cursor on the ROUNDED (score desc, doc_id asc) total
+            # order — the same order pages are served in, so pages never
+            # overlap or skip even across score ties
+            a_s, a_d = float(after[0]), int(after[1])
+            res = res.filter(
+                (F.col("score") < a_s)
+                | ((F.col("score") == a_s) & (F.col("doc_id") > a_d))
+            )
+        return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # -- public -----------------------------------------------------------
     def search(self, query: str, k: int = 10, mode: str = "AND",
                prune: bool = True, field: str | None = None,
-               min_should_match: int | None = None) -> DataFrame:
+               min_should_match: int | None = None,
+               after: "tuple[float, int] | None" = None) -> DataFrame:
         """BM25 top-k. On a fielded index ``field`` picks the scope
         (default: the manifest's default_field); terms become composite
         ``field\x1fterm`` keys and BM25 uses that field's docCount/avgdl.
@@ -485,7 +494,13 @@ class SegmentIndex:
         docs matching >= that many distinct query terms; the block-max
         pruning lattice tightens with it — a salt class is feasible only
         if at least msm of the terms have postings there (the AND lattice
-        is the msm == len(terms) corner of the same rule)."""
+        is the msm == len(terms) corner of the same rule).
+        ``after`` = (score, doc_id) is the ES search_after keyset cursor:
+        returns the next k results STRICTLY after the cursor in the
+        (score desc, doc_id asc) total order. Deep pagination stays
+        O(k) per page (no offset scan); block-max pruning still applies
+        because theta is seeded from post-cursor scores, and every doc a
+        page needs scores >= that theta."""
         prefix, n_docs, avgdl = self._resolve_field(field)
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
@@ -517,7 +532,8 @@ class SegmentIndex:
 
         if not prune or sum(term_df.values()) <= self.prune_min_postings:
             return self._score(self._decode(terms, None), term_df, required, k,
-                               n_docs=n_docs, avgdl=avgdl, min_terms=msm)
+                               n_docs=n_docs, avgdl=avgdl, min_terms=msm,
+                               after=after)
 
         # ---- block-max pruning math (driver-side, metadata only) ----
         nb_all = self.nb_max
@@ -571,6 +587,7 @@ class SegmentIndex:
         seed_top = self._score(
             self._decode(terms, seed_keys), term_df, required, k,
             keep_classes=seed, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
+            after=after,
         ).collect()
         if len(seed_top) >= k:
             # θ is derived from a ROUNDED score; subtract a half-ulp of the
@@ -585,6 +602,7 @@ class SegmentIndex:
         return self._score(
             self._decode(terms, keep_keys), term_df, required, k,
             keep_classes=keep, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
+            after=after,
         )
 
     def phrase_search(self, phrase: str, field: str | None = None,
@@ -720,6 +738,73 @@ class SegmentIndex:
             topk, decoded.select("term", "doc_id", "pos"), docs, terms,
             text_col, doc_col, window,
         )
+
+    def match_ids(self, query: str, mode: str = "AND",
+                  field: str | None = None,
+                  min_should_match: int | None = None) -> DataFrame:
+        """The FULL match set (doc_id only, no top-k cut) — what facet
+        aggregation runs over. Exhaustive decode of the query terms'
+        postings (block-max pruning is inapplicable: every match is
+        needed, not just the best k), tombstone-aware, with the same
+        AND/OR/msm predicate as search()."""
+        prefix, n_docs, _ = self._resolve_field(field)
+        terms = sorted(
+            {prefix + t for t in analyze_query_py(query, self.analyzer)}
+        )
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if not terms or n_docs == 0:
+            return empty
+        meta = self._meta(terms)
+        if meta.empty:
+            return empty
+        found = set(meta["term"].unique())
+        is_and = mode.upper() == "AND"
+        if is_and and found != set(terms):
+            return empty
+        need = len(found) if is_and else max(1, int(min_should_match or 1))
+        if need > len(found):
+            return empty
+        decoded = self._decode(sorted(found), None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nterms"))
+            .filter(F.col("nterms") >= need)
+            .select("doc_id")
+        )
+
+    def search_facets(self, query: str, docs: DataFrame,
+                      facet_cols: list[str], mode: str = "AND",
+                      doc_col: str = "doc_id",
+                      min_should_match: int | None = None) -> DataFrame:
+        """ES terms-aggregation analog: bucket counts of ``facet_cols``
+        over the ENTIRE match set of ``query`` (not just the top k —
+        exactly like ES aggs run on all hits). One distributed groupBy
+        per facet over the doc_id-joined metadata; the match set is a
+        semi-join-shaped doc_id column, so only the facet columns of
+        matching docs are ever read (column pruning). Output
+        (facet, value, n) ordered (facet asc, n desc, value asc) — the
+        ES bucket order, made total for determinism."""
+        ids = self.match_ids(query, mode, min_should_match=min_should_match)
+        joined = docs.select(
+            F.col(doc_col).alias("doc_id"), *facet_cols
+        ).join(ids, "doc_id")
+        parts = [
+            joined.groupBy(F.col(c).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(c).alias("facet"), "value", "n")
+            for c in facet_cols
+        ]
+        cur = parts[0]
+        for pdf in parts[1:]:
+            cur = cur.unionByName(pdf)
+        return cur.orderBy(F.asc("facet"), F.desc("n"), F.asc("value"))
 
     def search_multi(self, query: str, weights: dict[str, float],
                      k: int = 10, mode: str = "AND") -> DataFrame:
@@ -886,6 +971,60 @@ class SegmentIndex:
         (term, doc_id, tf) with the field prefix stripped, ordered."""
         fprefix, exp = self._fuzzy_expansions(term, max_edits, field,
                                               max_expansions)
+        if not exp:
+            return self.spark.createDataFrame(
+                [], "term string, doc_id long, tf long")
+        decoded = self._decode(sorted(fprefix + t for t in exp), None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        term_out = (
+            F.expr(f"substring(term, {len(fprefix) + 1})") if fprefix
+            else F.col("term")
+        )
+        return (
+            decoded.select(term_out.alias("term"), "doc_id", "tf")
+            .orderBy("term", "doc_id")
+        )
+
+    def _regexp_expansions(self, pattern: str, field: str | None,
+                           max_expansions: int) -> tuple[str, list[str]]:
+        """ES regexp-query expansion: FULL-match (the ES semantics —
+        patterns are implicitly anchored) over the term dictionary.
+        ES intersects a regex automaton with the FST; the analog here is
+        a JVM regexp over the distinct-term column of a metadata-only
+        scan (binary postings never read) — a general regex cannot push
+        down, but the term dictionary is orders of magnitude smaller
+        than the postings. Capped term-ascending (deterministic) like
+        ES max_expansions."""
+        fprefix, _, _ = self._resolve_field(field)
+        segs = self._all_segments()
+        if fprefix:
+            segs = segs.filter(F.col("term").startswith(fprefix))
+        base = (F.expr(f"substring(term, {len(fprefix) + 1})") if fprefix
+                else F.col("term"))
+        cand = (
+            segs.select(base.alias("t"))
+            .filter(F.regexp_like(F.col("t"), F.lit(f"^(?:{pattern})$")))
+            .distinct()
+            .orderBy("t")
+            .limit(max_expansions)
+        )
+        return fprefix, [r["t"] for r in cand.collect()]
+
+    def regexp_postings(self, pattern: str, field: str | None = None,
+                        max_expansions: int = 50) -> DataFrame:
+        """Live postings of every term fully matching ``pattern`` (the
+        ES regexp query's expansion). Output (term, doc_id, tf) with the
+        field prefix stripped, ordered. Constant-score expansion like
+        prefix; score with the fuzzy_search OR shape if ranking is
+        needed."""
+        fprefix, exp = self._regexp_expansions(pattern, field,
+                                               max_expansions)
         if not exp:
             return self.spark.createDataFrame(
                 [], "term string, doc_id long, tf long")

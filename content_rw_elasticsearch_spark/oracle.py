@@ -169,6 +169,46 @@ ORDER BY term, doc_id
 """
 
 
+def regexp_postings_sql(pattern: str) -> str:
+    """Oracle for SegmentIndex.regexp_postings: postings of every term
+    FULLY matching ``pattern`` (ES regexp queries are anchored), from a
+    full re-tokenize. No max_expansions cap — gated configs keep the
+    true expansion set below the engine's cap so both sides agree."""
+    pq = pattern.replace("'", "''")
+    return f"""
+WITH {TOKENS_CTE}
+SELECT term, doc_id, tf::BIGINT AS tf FROM post
+WHERE regexp_full_match(term, '{pq}')
+ORDER BY term, doc_id
+"""
+
+
+def search_facets_sql(query: str, facet_cols: list[str],
+                      mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.search_facets: bucket counts of the facet
+    columns over the ENTIRE match set (AND = all terms, OR = any)."""
+    terms = sorted(set(analyze_query_py(query, "simple")))
+    lst = _sql_str_list(terms)
+    need = len(terms) if mode.upper() == "AND" else 1
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS facet, CAST(d.{c} AS VARCHAR) AS value, "
+        f"count(*)::BIGINT AS n FROM ids JOIN documents d USING (doc_id) "
+        f"GROUP BY d.{c}"
+        for c in facet_cols
+    )
+    return f"""
+WITH {TOKENS_CTE},
+ids AS (
+  SELECT doc_id FROM post
+  WHERE term IN (SELECT unnest({lst}))
+  GROUP BY doc_id
+  HAVING count(*) >= {need}
+)
+SELECT facet, value, n FROM ({unions})
+ORDER BY facet ASC, n DESC, value ASC
+"""
+
+
 def term_stats_sql(min_df: int = 1) -> str:
     return f"""
 WITH {TOKENS_CTE}
