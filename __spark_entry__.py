@@ -249,12 +249,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.unionByName(b).unionByName(c)
 
     out["bm25_or_large_k"] = _or_large_k_variants
-    # NOT semantics (§2.G): AND query minus docs containing excluded terms
+    # NOT semantics (§2.G) + the full ES bool-query composition
+    # (must/should/must_not/msm in ONE scored plan — operators/boolquery)
+    # union-gated in one slot: 'not' = the original NOT gate; 'bool' =
+    # the logical bool plan; 'bool_seg' = the same query over the
+    # persisted segment store — all value-compared to the same oracles.
     def _bm25_not(spark, sf_dir):
+        from pyspark.sql import functions as F
+
         from content_rw_elasticsearch_spark.operators.bm25 import bm25_topk
+        from content_rw_elasticsearch_spark.operators.boolquery import (
+            bool_topk,
+            segment_bool_topk,
+        )
         idx = _index_for(spark, sf_dir)
-        return bm25_topk(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
-                         "hash join", k=10, mode="AND", not_terms=["row"])
+        a = bm25_topk(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
+                      "hash join", k=10, mode="AND", not_terms=["row"]
+                      ).withColumn("variant", F.lit("not"))
+        b = bool_topk(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
+                      must="hash", should="join row scan", must_not="dup",
+                      k=10).withColumn("variant", F.lit("bool"))
+        seg = _segment_index_for(spark, sf_dir)
+        c = segment_bool_topk(seg, must="hash", should="join row scan",
+                              must_not="dup", k=10).withColumn(
+            "variant", F.lit("bool_seg"))
+        return a.unionByName(b).unionByName(c)
 
     out["bm25_not"] = _bm25_not
 
@@ -480,8 +499,15 @@ def oracle_sql() -> dict[str, str]:
         + ") UNION ALL SELECT *, 'msm2' AS variant FROM (" + _msm
         + ") UNION ALL SELECT *, 'msm2_wand' AS variant FROM (" + _msm + ")"
     )
-    out["bm25_not"] = oracle.bm25_topk_sql("hash join", k=10, mode="AND",
-                                           not_terms=["row"])
+    _bool = oracle.bool_topk_sql(must="hash", should="join row scan",
+                                 must_not="dup", k=10)
+    out["bm25_not"] = (
+        "SELECT *, 'not' AS variant FROM ("
+        + oracle.bm25_topk_sql("hash join", k=10, mode="AND",
+                               not_terms=["row"])
+        + ") UNION ALL SELECT *, 'bool' AS variant FROM (" + _bool
+        + ") UNION ALL SELECT *, 'bool_seg' AS variant FROM (" + _bool + ")"
+    )
     # code-analyzer BM25: independent pure-Python golden (VALUES literal)
     out["bm25_code_analyzer"] = oracle.bm25_code_topk_sql("hash join", k=10, mode="AND")
     from content_rw_elasticsearch_spark.operators.fields import (

@@ -169,6 +169,57 @@ ORDER BY term, doc_id
 """
 
 
+def bool_topk_sql(must: str = "", should: str = "", must_not: str = "",
+                  k: int = 10, min_should_match: int | None = None) -> str:
+    """Oracle for operators/boolquery: ES bool-query semantics — all
+    must terms, no must_not term, >= msm should terms (msm defaults to
+    0 with must clauses, else 1); score = BM25 sum over matched
+    must + should terms only."""
+    m = sorted(set(analyze_query_py(must, "simple")))
+    sh = sorted(set(analyze_query_py(should, "simple")) - set(m))
+    n = sorted(set(analyze_query_py(must_not, "simple")) - set(m) - set(sh))
+    if not m and not sh:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    msm = (0 if m else 1) if min_should_match is None else int(min_should_match)
+    all_terms = sorted(set(m) | set(sh) | set(n))
+    score_set = _sql_str_list(sorted(set(m) | set(sh)))
+    never = "['\x01none']"  # matches no analyzed term
+    m_set = _sql_str_list(m) if m else never
+    s_set = _sql_str_list(sh) if sh else never
+    n_set = _sql_str_list(n) if n else never
+    return f"""
+WITH {TOKENS_CTE},
+qt AS (SELECT unnest({_sql_str_list(all_terms)}) AS term),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(CASE WHEN p.term IN (SELECT unnest({score_set}))
+             THEN ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+                  * p.tf*({BM25_K1}+1)
+                  / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl))
+             ELSE 0.0 END) AS raw,
+         count(CASE WHEN p.term IN (SELECT unnest({m_set})) THEN 1 END) AS n_must,
+         count(CASE WHEN p.term IN (SELECT unnest({s_set})) THEN 1 END) AS n_should,
+         count(CASE WHEN p.term IN (SELECT unnest({n_set})) THEN 1 END) AS n_not
+  FROM post p
+  JOIN stats s ON s.term = p.term
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE p.term IN (SELECT term FROM qt)
+  GROUP BY p.doc_id
+  HAVING n_must = {len(m)} AND n_not = 0 AND n_should >= {msm}
+)
+SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def regexp_postings_sql(pattern: str) -> str:
     """Oracle for SegmentIndex.regexp_postings: postings of every term
     FULLY matching ``pattern`` (ES regexp queries are anchored), from a
