@@ -2,7 +2,14 @@
 
     spark-submit --master <cluster> --py-files crwes.zip \
         scripts/submit_query.py --index /path/index \
-        --query "hash join" --mode AND --k 10 [--phrase]
+        --query "hash join" --mode AND --k 10 [--phrase [--slop N]]
+
+Query shapes (one per invocation):
+  default            BM25 top-k (--mode AND|OR, --msm N, --field F,
+                     --after SCORE:DOC_ID for keyset pagination)
+  --phrase           exact phrase; --slop N for ordered proximity
+  --prefix/--fuzzy/--regexp   term-expansion postings fetches
+  --must/--should/--must-not  ES bool query (overrides --query)
 """
 
 from __future__ import annotations
@@ -15,22 +22,54 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", default="")
     ap.add_argument("--mode", default="AND", choices=["AND", "OR"])
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--field", default=None)
+    ap.add_argument("--msm", type=int, default=None,
+                    help="minimum_should_match (OR mode / bool should)")
+    ap.add_argument("--after", default=None,
+                    help="keyset cursor SCORE:DOC_ID (search_after)")
     ap.add_argument("--phrase", action="store_true")
+    ap.add_argument("--slop", type=int, default=0)
+    ap.add_argument("--prefix", default=None)
+    ap.add_argument("--fuzzy", default=None)
+    ap.add_argument("--regexp", default=None)
+    ap.add_argument("--must", default=None)
+    ap.add_argument("--should", default=None)
+    ap.add_argument("--must-not", dest="must_not", default=None)
     ap.add_argument("--no-prune", action="store_true")
     args = ap.parse_args()
 
+    from content_rw_elasticsearch_spark.operators.boolquery import (
+        segment_bool_topk,
+    )
     from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
 
     spark = SparkSession.builder.getOrCreate()
     idx = SegmentIndex.load(spark, args.index)
-    if args.phrase:
-        df = idx.phrase_search(args.query)
+    if args.must is not None or args.should is not None \
+            or args.must_not is not None:
+        df = segment_bool_topk(
+            idx, must=args.must or "", should=args.should or "",
+            must_not=args.must_not or "", k=args.k,
+            min_should_match=args.msm)
+    elif args.phrase:
+        df = idx.phrase_search(args.query, field=args.field, slop=args.slop)
+    elif args.prefix is not None:
+        df = idx.prefix_postings(args.prefix, field=args.field)
+    elif args.fuzzy is not None:
+        df = idx.fuzzy_postings(args.fuzzy, field=args.field)
+    elif args.regexp is not None:
+        df = idx.regexp_postings(args.regexp, field=args.field)
     else:
+        after = None
+        if args.after:
+            score, doc = args.after.split(":")
+            after = (float(score), int(doc))
         df = idx.search(args.query, k=args.k, mode=args.mode,
-                        prune=not args.no_prune)
+                        prune=not args.no_prune, field=args.field,
+                        min_should_match=args.msm, after=after)
     for row in df.collect():
         print(tuple(row))
     spark.stop()
