@@ -96,7 +96,12 @@ def seg(spark, corpus, tmp_path_factory):
     build_segments(corpus, out, text_col="text", doc_col="doc_id",
                    n_buckets=2, target_block=8, nb_max=4,
                    with_positions=True)
-    return SegmentIndex.load(spark, out)
+    idx = SegmentIndex.load(spark, out)
+    # force the TWO-PHASE pruned plan (the msm feasibility lattice):
+    # at this corpus size prune=True would otherwise duck under the
+    # crossover threshold and take the exhaustive branch
+    idx.prune_min_postings = 0
+    return idx
 
 
 @pytest.mark.parametrize("msm", [2, 3])

@@ -39,7 +39,11 @@ def seg(spark, tmp_path_factory):
     corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
     build_segments(corpus, out, text_col="text", doc_col="doc_id",
                    n_buckets=2, target_block=8, nb_max=4)
-    return SegmentIndex.load(spark, out)
+    idx = SegmentIndex.load(spark, out)
+    # force the TWO-PHASE pruned plan for the prune=True legs — the tiny
+    # corpus would otherwise duck under the crossover threshold
+    idx.prune_min_postings = 0
+    return idx
 
 
 def test_regexp_postings_vs_brute(seg):
