@@ -64,7 +64,7 @@ def run_pair(low: int, high: int, n_docs: int) -> dict:
     t0 = time.time()
     low_proc = subprocess.Popen(
         _cmd(0, low - 1), env=_env(low, n_docs),
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
     )
     high_runs: list[dict] = []  # {"start","end","res"}
     high_failures: list[str] = []  # stderr tails of failed high legs
@@ -86,11 +86,18 @@ def run_pair(low: int, high: int, n_docs: int) -> dict:
 
     th = threading.Thread(target=high_loop, daemon=True)
     th.start()
-    low_out = low_proc.communicate()[0]
+    low_out, low_err = low_proc.communicate()
     low_end = time.time()
     stop.set()
     th.join()  # let the in-flight high run finish (it will be discarded)
 
+    if low_proc.returncode != 0 or not low_out.strip():
+        # fail fast WITH the cause (campaign 8 died with an opaque
+        # IndexError here because low stderr went to DEVNULL)
+        raise RuntimeError(
+            f"low leg failed (rc={low_proc.returncode}); stderr tail:\n"
+            + (low_err or "<empty>")[-3000:]
+        )
     low_res = json.loads(low_out.strip().splitlines()[-1])
     if not high_runs:
         # fail fast with the cause instead of a StatisticsError after the
