@@ -123,19 +123,35 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
     # shared heap — coupling the legs through allocation pressure that no
     # multi-executor deployment has. Requires PYTHONPATH to carry the
     # repo for executor-side python workers.
-    if os.environ.get("SPARK_GRAFT_LOCAL_CLUSTER"):
-        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
-        master = f"local-cluster[{cpus},1,{mem_mb}]"
-    else:
-        master = f"local[{cpus}]"
-    spark = get_spark(
-        app_name="bench", master=master, shuffle_partitions=shuffle_parts,
+    extra_conf = {
         # the contract is ONE JSON line on stdout, parsed by the external
         # driver. JVM unified logging writes to STDOUT asynchronously (a
         # GCLocker-retry warning was observed landing AFTER the JSON line,
         # which a last-line parse reads instead of the result) — disable
         # it for bench sessions so nothing else can reach stdout
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+        "spark.driver.extraJavaOptions": "-Xlog:disable",
+    }
+    if os.environ.get("SPARK_GRAFT_LOCAL_CLUSTER"):
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+        master = f"local-cluster[{cpus},1,{mem_mb}]"
+        # local-cluster legs run a driver + N executor JVMs + python
+        # workers on N taskset-pinned cores — heartbeat threads starve
+        # behind minute-long encode tasks and the default 120 s network
+        # timeout kills the app mid-build ("Could not find AppClient",
+        # campaign 9). A real cluster pins one executor per NODE, so the
+        # long timeouts only paper over the sandbox's deliberate
+        # overcommit, not an engine property.
+        extra_conf.update({
+            "spark.network.timeout": "600s",
+            "spark.executor.heartbeatInterval": "60s",
+            "spark.worker.timeout": "600",
+            "spark.storage.blockManagerHeartbeatTimeoutMs": "600000",
+        })
+    else:
+        master = f"local[{cpus}]"
+    spark = get_spark(
+        app_name="bench", master=master, shuffle_partitions=shuffle_parts,
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     if synth_docs:
