@@ -97,15 +97,23 @@ def segment_bool_topk(
     must_not: str = "",
     k: int = 10,
     min_should_match: int | None = None,
+    field: str | None = None,
 ) -> DataFrame:
     """Bool query over the persisted segment store (a SegmentIndex):
     one tombstone-aware decode of all three clause sets' postings, then
     the same conditional-count aggregate as bool_topk. df is
     Lucene-faithful approximate (superseded postings counted until
-    fold), matching SegmentIndex.search."""
+    fold), matching SegmentIndex.search. On a fielded index ``field``
+    scopes every clause to that field's composite keys and norms."""
     spark = index.spark
     empty = spark.createDataFrame([], "doc_id long, score double")
+    fprefix, n_docs, avgdl = index._resolve_field(field)
+    if n_docs == 0:
+        return empty
     m, s, n = _term_sets(must, should, must_not, index.analyzer)
+    m = [fprefix + t for t in m]
+    s = [fprefix + t for t in s]
+    n = [fprefix + t for t in n]
     if not m and not s:
         return empty
     msm = (0 if m else 1) if min_should_match is None else int(min_should_match)
@@ -133,7 +141,7 @@ def segment_bool_topk(
     cand = decoded.join(F.broadcast(stats), "term")
     partial = bm25_partial_col(
         F.col("tf").cast("double"), F.col("doc_len").cast("double"),
-        F.col("df").cast("double"), index.n_docs, index.avgdl,
+        F.col("df").cast("double"), n_docs, avgdl,
     )
     scoring = F.when(F.col("term").isin(m + s), partial).otherwise(F.lit(0.0))
     in_set = lambda ts: F.when(  # noqa: E731

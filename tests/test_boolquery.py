@@ -148,3 +148,35 @@ def test_bool_should_boosts_within_must_matches(idx):
                       must="alpha", should="delta").collect()}
     assert 4 in rows and 6 in rows
     assert rows[6] > rows[4]  # doc 6 has the should term 'delta'
+
+
+def test_bool_fielded_scoping(spark, tmp_path):
+    """On a fielded store, bool clauses scope to the queried field's
+    composite keys and norms: the must-only corner is rank- AND
+    score-identical to search(field=...), and must_not kills a doc only
+    when the term is in THAT field."""
+    from pyspark.sql import functions as F
+
+    fields = {
+        "title": F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 2)),
+        "body": F.col("text"),
+    }
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = str(tmp_path / "bool_fielded")
+    build_segments(corpus, out, text_col=None, doc_col="doc_id",
+                   n_buckets=2, target_block=8, nb_max=4, fields=fields)
+    idx = SegmentIndex.load(spark, out)
+    for f in ("title", "body"):
+        want = [(r["doc_id"], r["score"]) for r in
+                idx.search("alpha beta", field=f, mode="AND").collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               segment_bool_topk(idx, must="alpha beta", field=f).collect()]
+        assert got == want, f
+        assert got or f == "title"  # body corner must be non-vacuous
+    # doc 2 = "alpha beta dup": title is "alpha beta" (first 2 tokens),
+    # so must_not="dup" kills it in the BODY scope but NOT in title
+    title_hits = {r["doc_id"] for r in segment_bool_topk(
+        idx, must="alpha beta", must_not="dup", field="title").collect()}
+    body_hits = {r["doc_id"] for r in segment_bool_topk(
+        idx, must="alpha beta", must_not="dup", field="body").collect()}
+    assert 2 in title_hits and 2 not in body_hits
