@@ -29,7 +29,8 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from content_rw_elasticsearch_spark.operators.segments import build_segments  # noqa: E402
 from content_rw_elasticsearch_spark.operators.wand import SegmentIndex  # noqa: E402
@@ -146,6 +147,13 @@ def run(sf_dir: str, cpus: int, synth_docs: int | None = None) -> dict:
             "spark.executor.heartbeatInterval": "60s",
             "spark.worker.timeout": "600",
             "spark.storage.blockManagerHeartbeatTimeoutMs": "600000",
+            # executor JVMs spawn their own python workers, which need the
+            # repo importable (local[N] inherits the driver's sys.path;
+            # separate executor JVMs do not — this is exactly what
+            # spark-submit --py-files does on a real cluster)
+            "spark.executorEnv.PYTHONPATH": (
+                os.environ.get("PYTHONPATH", "") + os.pathsep + REPO
+            ).lstrip(os.pathsep),
         })
     else:
         master = f"local[{cpus}]"

@@ -40,11 +40,26 @@ def run_one(cpus: int, n_docs: int) -> dict:
     # taskset pins the WHOLE process tree (JVM + python UDF workers) to
     # exactly `cpus` host cores — local[N] alone caps only JVM task slots,
     # letting python workers spill onto extra host cores and distorting
-    # the N-vs-4N comparison
+    # the N-vs-4N comparison.
+    #
+    # SPARK_GRAFT_NO_PIN=1 skips the pinning. This is REQUIRED for the
+    # local-cluster (separate executor JVM) legs: pinning crams the
+    # driver JVM + standalone master/worker threads + N 1-core executor
+    # JVMs + python workers onto N host cores, so RPC/heartbeat threads
+    # wait behind minute-long encode tasks and the master removes the app
+    # mid-build ("Could not find AppClient" — campaigns 8-10, even with
+    # 600 s timeouts). On a real cluster each executor's infra threads
+    # run on its own node beside that node's task cores; unpinned legs
+    # reproduce that (compute parallelism is still bounded by executor
+    # task slots, which is what the N-vs-4N ratio is about). The residual
+    # over-credit — GC/netty/python-serialization running on spare host
+    # cores — helps the low leg relatively more, so it makes the measured
+    # efficiency CONSERVATIVE (biases toward FAIL, not PASS).
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if not os.environ.get("SPARK_GRAFT_NO_PIN"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}",
-         sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, cwd=REPO, check=True,
+        cmd, env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -87,18 +102,30 @@ def main() -> None:
     print(json.dumps(summary))
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    if os.environ.get("SPARK_GRAFT_LOCAL_CLUSTER"):
+        leg_label = "local-cluster[{n},1,m] — {n} separate 1-core executor JVMs"
+        mode_note = ("local-cluster mode: a standalone master + worker + N "
+                     "SEPARATE 1-core executor JVMs per leg (per-JVM heap, "
+                     "GC, and python-worker pools scale with executor count "
+                     "exactly as on a real cluster); legs run UNPINNED so "
+                     "executor task slots bound compute parallelism while "
+                     "infra threads live beside them as on real nodes")
+    else:
+        leg_label = "local[{n}]"
+        mode_note = ("only the master string differs (sandbox stand-in for "
+                     "N vs 4N executors)")
     md = f"""
 ## (c) Measured scaling run — {stamp}
 
 Identical segment-index build + reference-query job, deterministic
 synthetic corpus ({n_docs:,} docs, seed 42), separate JVMs, best of
 {repeats} runs per leg (min-estimator against hypervisor steal noise);
-only the master string differs (sandbox stand-in for N vs 4N executors).
+{mode_note}.
 
 | parallelism | index build (s) | indexing throughput (docs/s) | query p50 (s) |
 |---|---|---|---|
-| local[{low}]  | {r_low['index_build_sec']} | {r_low['docs_per_sec']} | {r_low['query_p50_sec']} |
-| local[{high}] | {r_high['index_build_sec']} | {r_high['docs_per_sec']} | {r_high['query_p50_sec']} |
+| {leg_label.format(n=low)}  | {r_low['index_build_sec']} | {r_low['docs_per_sec']} | {r_low['query_p50_sec']} |
+| {leg_label.format(n=high)} | {r_high['index_build_sec']} | {r_high['docs_per_sec']} | {r_high['query_p50_sec']} |
 
 **Scaling efficiency** = {r_high['docs_per_sec']} / ({ratio} × {r_low['docs_per_sec']})
 = **{eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
