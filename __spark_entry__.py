@@ -196,6 +196,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in ("and_two", "single_hot", "or_three", "and_allhot"):
         out[f"wand_{name}"] = functools.partial(_wand_query, name, True)
 
+    # bm25_single_hot also carries more_like_this (the ES MLT query:
+    # tf·idf "interesting terms" selected from a source doc → OR BM25
+    # with the source excluded — operators/search_ext.py) union-gated as
+    # a second variant, a strict strengthening inside the 50-query cap.
+    def _single_hot_and_mlt(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from content_rw_elasticsearch_spark.operators.search_ext import (
+            more_like_this,
+        )
+        spec = REFERENCE_QUERIES["single_hot"]
+        idx = _index_for(spark, sf_dir)
+        a = idx.search(spec["query"], k=spec["k"], mode=spec["mode"]
+                       ).withColumn("variant", F.lit("hot"))
+        b = more_like_this(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
+                           doc_id=7, k=10, min_term_freq=2, min_doc_freq=2
+                           ).withColumn("variant", F.lit("mlt"))
+        return a.unionByName(b)
+
+    out["bm25_single_hot"] = _single_hot_and_mlt
+
+    # bm25_and_skewed also carries ES field collapsing (best hit per
+    # documents.lang via one partial-aggregable struct-argmax — NOT a
+    # window; operators/search_ext.collapse_topk) as a second variant;
+    # group_key is NULL on the base leg.
+    def _and_skewed_and_collapse(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from content_rw_elasticsearch_spark.operators.search_ext import (
+            collapse_topk,
+        )
+        spec = REFERENCE_QUERIES["and_skewed"]
+        idx = _index_for(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = idx.search(spec["query"], k=spec["k"], mode=spec["mode"]).select(
+            F.lit("and").alias("variant"),
+            F.lit(None).cast("string").alias("group_key"),
+            "doc_id", "score")
+        b = collapse_topk(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
+                          "hash join row", docs, "lang", k=10).select(
+            F.lit("collapse").alias("variant"), "group_key", "doc_id",
+            "score")
+        return a.unionByName(b)
+
+    out["bm25_and_skewed"] = _and_skewed_and_collapse
+
     # wand_or_three carries search_after keyset pagination on top of the
     # same pruned OR plan: page 1 (k=5) + page 2 (k=5, after = page 1's
     # last (score, doc_id) cursor) must EQUAL the one-shot top-10 — the
@@ -477,6 +523,28 @@ def oracle_sql() -> dict[str, str]:
         if name == "and_two":
             out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
+    # single_hot carries the more_like_this variant (same params as the
+    # Spark leg: source doc 7, min_term_freq=2, min_doc_freq=2)
+    _spec = REFERENCE_QUERIES["single_hot"]
+    out["bm25_single_hot"] = (
+        "SELECT *, 'hot' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"])
+        + ") UNION ALL SELECT *, 'mlt' AS variant FROM ("
+        + oracle.more_like_this_sql(7, k=10, min_term_freq=2,
+                                    min_doc_freq=2) + ")"
+    )
+    # and_skewed carries the field-collapsing variant (best hit per lang)
+    _spec = REFERENCE_QUERIES["and_skewed"]
+    out["bm25_and_skewed"] = (
+        "SELECT *, CAST(NULL AS VARCHAR) AS group_key, 'and' AS variant "
+        "FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"])
+        + ") UNION ALL SELECT doc_id, score, group_key, "
+        "'collapse' AS variant FROM ("
+        + oracle.collapse_topk_sql("hash join row", "lang", k=10) + ")"
+    )
     _spec = REFERENCE_QUERIES["or_three"]
     out["segment_or_three"] = oracle.highlight_sql(
         _spec["query"], k=_spec["k"], mode="OR")

@@ -953,3 +953,92 @@ SELECT count(*)::BIGINT AS n_docs,
        round(avg(doc_len), {ROUND_DECIMALS}) AS avgdl
 FROM dl
 """
+
+
+def more_like_this_sql(doc_id: int, k: int = 10, max_query_terms: int = 25,
+                       min_term_freq: int = 1, min_doc_freq: int = 1) -> str:
+    """Oracle for operators/search_ext.more_like_this: tf·idf term
+    selection from the source doc (weights rounded to 6 dp, term-asc
+    tie-break — identical to the Spark plan), then OR-mode BM25 over the
+    selected terms with the source doc excluded."""
+    return f"""
+WITH {TOKENS_CTE},
+src AS (SELECT term, tf FROM post WHERE doc_id = {int(doc_id)}),
+sdf AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM src) GROUP BY term
+),
+sel AS (
+  SELECT s.term
+  FROM src s JOIN sdf USING (term) CROSS JOIN corpus c
+  WHERE s.tf >= {int(min_term_freq)} AND sdf.df >= {int(min_doc_freq)}
+  ORDER BY round(s.tf * ln(1 + (c.n - sdf.df + 0.5)/(sdf.df + 0.5)), 6) DESC,
+           s.term ASC
+  LIMIT {int(max_query_terms)}
+),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM sel) GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+              * p.tf*({BM25_K1}+1)
+              / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)) ) AS raw
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score
+FROM scored
+WHERE doc_id <> {int(doc_id)}
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+def collapse_topk_sql(query: str, group_col: str, k: int = 10) -> str:
+    """Oracle for operators/search_ext.collapse_topk: OR-mode BM25 hits,
+    best hit per documents.{group_col} (rounded score desc, doc_id asc
+    within a group — the same tie-break the Spark struct-argmax uses),
+    groups ranked by that best score."""
+    terms = sorted(set(analyze_query_py(query, "simple")))
+    if not terms:
+        return ("SELECT CAST(NULL AS VARCHAR) AS group_key, "
+                "CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    return f"""
+WITH {TOKENS_CTE},
+qt AS (SELECT unnest({_sql_str_list(terms)}) AS term),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+              * p.tf*({BM25_K1}+1)
+              / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)) ) AS raw
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+hits AS (
+  SELECT dd.{group_col}::VARCHAR AS group_key, s.doc_id,
+         round(s.raw, {ROUND_DECIMALS}) AS score
+  FROM scored s JOIN documents dd USING (doc_id)
+),
+best AS (
+  SELECT group_key, doc_id, score,
+         row_number() OVER (PARTITION BY group_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM hits
+)
+SELECT group_key, doc_id, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
