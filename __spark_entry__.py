@@ -213,7 +213,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = more_like_this(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
                            doc_id=7, k=10, min_term_freq=2, min_doc_freq=2
                            ).withColumn("variant", F.lit("mlt"))
-        return a.unionByName(b)
+        # same MLT over the PERSISTED segment store (source text
+        # re-analyzed driver-side, df from the metadata-only scan, pruned
+        # OR search) — must be rank-identical to the same oracle
+        seg = _segment_index_for(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        c = seg.more_like_this(7, docs, text_col="text", doc_col="doc_id",
+                               k=10, min_term_freq=2, min_doc_freq=2
+                               ).withColumn("variant", F.lit("mlt_seg"))
+        return a.unionByName(b).unionByName(c)
 
     out["bm25_single_hot"] = _single_hot_and_mlt
 
@@ -531,6 +539,9 @@ def oracle_sql() -> dict[str, str]:
         + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
                                mode=_spec["mode"])
         + ") UNION ALL SELECT *, 'mlt' AS variant FROM ("
+        + oracle.more_like_this_sql(7, k=10, min_term_freq=2,
+                                    min_doc_freq=2)
+        + ") UNION ALL SELECT *, 'mlt_seg' AS variant FROM ("
         + oracle.more_like_this_sql(7, k=10, min_term_freq=2,
                                     min_doc_freq=2) + ")"
     )

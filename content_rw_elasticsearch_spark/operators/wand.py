@@ -739,6 +739,55 @@ class SegmentIndex:
             text_col, doc_col, window,
         )
 
+    def more_like_this(self, doc_id: int, docs: DataFrame,
+                       text_col: str = "content", doc_col: str = "doc_id",
+                       k: int = 10, max_query_terms: int = 25,
+                       min_term_freq: int = 1, min_doc_freq: int = 1,
+                       prune: bool = True) -> DataFrame:
+        """ES more_like_this over the PERSISTED index (the scale path of
+        operators/search_ext.more_like_this). The inverted store has no
+        forward (doc → terms) index — exactly ES's situation without
+        term vectors — so the source doc's (term, tf) comes from
+        re-analyzing its text out of ``docs`` (ONE row, driver-side,
+        like ES's like-text analysis); df comes from the metadata-only
+        block scan (zero posting decode). Term selection (tf·idf desc,
+        6-dp half-up rounding, term-asc tie-break) is a ≤|doc| python
+        sort; the query itself is the ordinary pruned OR search at k+1
+        with the source dropped — exact, since removing at most one row
+        from an exact top-(k+1) leaves the exact top-k of the rest."""
+        from .similarity import _round_half_up
+
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        row = (docs.filter(F.col(doc_col) == int(doc_id))
+               .select(text_col).limit(1).collect())
+        if not row or row[0][0] is None:
+            return empty
+        toks = analyze_query_py(row[0][0], self.analyzer)
+        if not toks:
+            return empty
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        prefix, n_docs, avgdl = self._resolve_field(None)
+        meta = self._meta(sorted(prefix + t for t in tf))
+        if meta.empty or n_docs == 0:
+            return empty
+        term_df = {t[len(prefix):]: int(g["count"].sum())
+                   for t, g in meta.groupby("term")}
+        ranked = sorted(
+            ((_round_half_up(tf[t] * self._idf(df_t, n_docs), 6), t)
+             for t, df_t in term_df.items()
+             if tf[t] >= int(min_term_freq) and df_t >= int(min_doc_freq)),
+            key=lambda x: (-x[0], x[1]),
+        )[: int(max_query_terms)]
+        if not ranked:
+            return empty
+        sel = self.search(" ".join(sorted(t for _, t in ranked)),
+                          k=int(k) + 1, mode="OR", prune=prune)
+        return (sel.filter(F.col("doc_id") != int(doc_id))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(int(k)))
+
     def match_ids(self, query: str, mode: str = "AND",
                   field: str | None = None,
                   min_should_match: int | None = None) -> DataFrame:

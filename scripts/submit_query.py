@@ -10,6 +10,8 @@ Query shapes (one per invocation):
   --phrase           exact phrase; --slop N for ordered proximity
   --prefix/--fuzzy/--regexp   term-expansion postings fetches
   --must/--should/--must-not  ES bool query (overrides --query)
+  --mlt DOC_ID --corpus PATH  more_like_this (source text re-analyzed
+                              from the corpus parquet; --text-col)
 """
 
 from __future__ import annotations
@@ -38,6 +40,11 @@ def main() -> None:
     ap.add_argument("--must", default=None)
     ap.add_argument("--should", default=None)
     ap.add_argument("--must-not", dest="must_not", default=None)
+    ap.add_argument("--mlt", type=int, default=None, metavar="DOC_ID",
+                    help="more_like_this source doc (needs --corpus)")
+    ap.add_argument("--corpus", default=None,
+                    help="corpus parquet path for --mlt source text")
+    ap.add_argument("--text-col", dest="text_col", default="content")
     ap.add_argument("--no-prune", action="store_true")
     args = ap.parse_args()
 
@@ -54,6 +61,12 @@ def main() -> None:
             idx, must=args.must or "", should=args.should or "",
             must_not=args.must_not or "", k=args.k,
             min_should_match=args.msm)
+    elif args.mlt is not None:
+        if not args.corpus:
+            raise SystemExit("--mlt requires --corpus <parquet path>")
+        docs = spark.read.parquet(args.corpus)
+        df = idx.more_like_this(args.mlt, docs, text_col=args.text_col,
+                                k=args.k, prune=not args.no_prune)
     elif args.phrase:
         df = idx.phrase_search(args.query, field=args.field, slop=args.slop)
     elif args.prefix is not None:

@@ -140,6 +140,28 @@ def test_collapse_best_per_group_and_tiebreak(spark, idx):
     assert len({g for g, _, _ in got}) == len(got)
 
 
+def test_segment_mlt_matches_inmemory(spark, idx, tmp_path):
+    from content_rw_elasticsearch_spark.operators.segments import build_segments
+    from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    out = str(tmp_path / "mltidx")
+    build_segments(corpus, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=8, nb_max=4)
+    seg = SegmentIndex.load(spark, out)
+    seg.prune_min_postings = 0  # force the pruned plan on the tiny corpus
+    for prune in (True, False):
+        got = [(r["doc_id"], r["score"]) for r in
+               seg.more_like_this(1, corpus, text_col="text", k=10,
+                                  prune=prune).collect()]
+        exp = [(r["doc_id"], r["score"]) for r in
+               more_like_this(idx.postings, idx.stats, idx.n_docs,
+                              idx.avgdl, doc_id=1, k=10).collect()]
+        assert got == exp
+    # missing source doc / selection yielding nothing → empty, same schema
+    assert seg.more_like_this(999, corpus, text_col="text").count() == 0
+
+
 def test_mlt_and_collapse_vs_duckdb_oracle(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     ix = InMemoryIndex.build(docs, text_col="text", doc_col="doc_id")
