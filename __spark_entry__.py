@@ -152,7 +152,10 @@ def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion (JVM levenshtein over the term dictionary, metadata-only
     scan — see SegmentIndex.fuzzy_postings); 'regexp' = the ES regexp
     expansion (anchored full-match over the term dictionary — see
-    SegmentIndex.regexp_postings)."""
+    SegmentIndex.regexp_postings); 'suggest' = the ES completion/term
+    suggester (top-k prefix terms by df, METADATA-ONLY scan — see
+    SegmentIndex.suggest; rides the postings columns as doc_id=NULL,
+    tf=df)."""
     from pyspark.sql import functions as F
     seg = _segment_index_for(spark, sf_dir)
     a = _index_for(spark, sf_dir).term_lookup("dup").select(
@@ -164,7 +167,11 @@ def _term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fuzzy").alias("variant"), "term", "doc_id", "tf")
     d = seg.regexp_postings("jo.n|dup").select(
         F.lit("regexp").alias("variant"), "term", "doc_id", "tf")
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = seg.suggest("s", k=8).select(
+        F.lit("suggest").alias("variant"), "term",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("df").cast("long").alias("tf"))
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,8 +468,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_exact_groups"] = _dedup_exact
     out["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _docs(s, d), "text", "doc_id", n=3, tau=0.8)
-    out["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_dedup(
-        _docs(s, d), "text", "doc_id", n=3, tau=0.8)
+    # minhash slot also carries the clustering step a dedup pipeline
+    # actually keys retention on: connected components over the verified
+    # pair graph (doc_id, cluster_id = min id in component), value-gated
+    # against a recursive-CTE transitive closure of the same pair SQL.
+    def _dedup_minhash_and_clusters(s, d):
+        from pyspark.sql import functions as F
+        pairs = dedup.minhash_lsh_dedup(_docs(s, d), "text", "doc_id",
+                                        n=3, tau=0.8)
+        a = pairs.select(F.lit("pair").alias("variant"), "d1", "d2",
+                         "jaccard")
+        b = dedup.connected_components(pairs).select(
+            F.lit("cluster").alias("variant"),
+            F.col("doc_id").alias("d1"),
+            F.col("cluster_id").alias("d2"),
+            F.lit(None).cast("double").alias("jaccard"))
+        return a.unionByName(b)
+
+    out["dedup_minhash_lsh"] = _dedup_minhash_and_clusters
     out["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         _docs(s, d), "text", "doc_id", max_hamming=3)
 
@@ -622,7 +645,10 @@ def oracle_sql() -> dict[str, str]:
         + ") UNION ALL SELECT 'fuzzy' AS variant, term, doc_id, tf FROM ("
         + oracle.fuzzy_postings_sql("sow", max_edits=1)
         + ") UNION ALL SELECT 'regexp' AS variant, term, doc_id, tf FROM ("
-        + oracle.regexp_postings_sql("jo.n|dup") + ")"
+        + oracle.regexp_postings_sql("jo.n|dup")
+        + ") UNION ALL SELECT 'suggest' AS variant, term, "
+        "CAST(NULL AS BIGINT) AS doc_id, df AS tf FROM ("
+        + oracle.suggest_sql("s", k=8) + ")"
     )
     out["index_stats"] = (
         "SELECT t.term, t.df, c.n_docs, c.avgdl FROM ("
@@ -661,7 +687,13 @@ GROUP BY content_sha HAVING count(*) > 1 ORDER BY content_sha
 """
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
     # LSH+verify must equal the exact-join result (recall caveat in docstring)
-    out["dedup_minhash_lsh"] = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
+    _pairs_sql = dedup.ngram_jaccard_pairs_sql(n=3, tau=0.8)
+    out["dedup_minhash_lsh"] = (
+        "SELECT 'pair' AS variant, d1, d2, jaccard FROM (" + _pairs_sql
+        + ") UNION ALL SELECT 'cluster' AS variant, doc_id AS d1, "
+        "cluster_id AS d2, CAST(NULL AS DOUBLE) AS jaccard FROM ("
+        + dedup.dedup_clusters_sql(_pairs_sql) + ")"
+    )
     # dedup_simhash: the bit-vote algebra is not SQL-expressible, so the
     # oracle is an independent pure-Python brute-force replay materialized
     # as a VALUES golden table (pinned to the driver's sf0.01 scale)

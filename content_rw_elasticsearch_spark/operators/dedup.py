@@ -212,6 +212,103 @@ ORDER BY d1, d2
 """
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "d1", b_col: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup PAIRS: (doc_id, cluster_id) with
+    cluster_id = min doc_id in the pair graph's connected component —
+    the step a training-data pipeline needs after MinHash/SimHash/
+    embedding pair generation to keep ONE representative per dup group
+    (keep row ⇔ doc_id == cluster_id).
+
+    Algorithm: iterative min-label propagation. Each round is one
+    edges⋈labels hash join + one min-aggregation (two shuffles, both
+    partial-aggregable); the driver sees a single changed-count scalar
+    per round and stops at a fixpoint, after at most
+    diameter(largest component) rounds. Dup clusters are shallow
+    (near-clique groups, diameter ≈ 1-2), so real corpora converge in
+    2-3 rounds regardless of corpus size — the adversarial case is a
+    10^6-doc chain, which is not what near-dup graphs look like; for
+    that shape switch to alternating large-star/small-star (Kiveris et
+    al., MapReduce CC), which this loop structure accommodates. Each
+    round persists its labels and unpersists the previous round's, so
+    neither memory nor recomputation grows with iterations (lineage
+    depth grows linearly; bound max_iter or checkpoint for extreme
+    diameters)."""
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        edges.unionByName(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    )
+    try:
+        for _ in range(int(max_iter)):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("u").alias("v"),
+                                  F.col("label").alias("vlabel")),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("vlabel").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(nbr, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")),
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.select("u", F.col("label").alias("old")), "u")
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )  # ONE driver scalar per round
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+        ).orderBy("doc_id")
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """Oracle for connected_components over the pair set produced by
+    ``pairs_sql`` (any query emitting d1/d2 columns): the transitive
+    closure as a recursive CTE, min reachable id per vertex."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({pairs_sql})
+),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION
+  SELECT d2 AS u, d1 AS v FROM pairs
+),
+verts AS (SELECT DISTINCT u FROM edges),
+reach(u, r) AS (
+  SELECT u, u FROM verts
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -982,6 +982,30 @@ class SegmentIndex:
             .orderBy("term", "doc_id")
         )
 
+    def suggest(self, prefix: str, k: int = 10,
+                field: str | None = None) -> DataFrame:
+        """ES completion/term suggester: top-k dictionary terms with the
+        given prefix, ranked by document frequency (df desc, term asc).
+        METADATA-ONLY — df is the sum of block posting counts (the same
+        Lucene-faithful approximate-until-fold df search() scores with),
+        so no posting bytes are ever decoded: the scan reads the (term,
+        count) columns of the pushed StringStartsWith range over
+        term-sorted row groups, aggregates once, and TakeOrderedAndProject
+        cuts k. Output (term, df)."""
+        fprefix, _, _ = self._resolve_field(field)
+        segs = self._all_segments().filter(
+            F.col("term").startswith(fprefix + prefix))
+        term_out = (
+            F.expr(f"substring(term, {len(fprefix) + 1})") if fprefix
+            else F.col("term")
+        )
+        return (
+            segs.groupBy("term").agg(F.sum("count").alias("df"))
+            .select(term_out.alias("term"), F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(k))
+        )
+
     def _fuzzy_expansions(self, term: str, max_edits: int,
                           field: str | None,
                           max_expansions: int) -> tuple[str, list[str]]:

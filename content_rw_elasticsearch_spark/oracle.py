@@ -955,6 +955,22 @@ FROM dl
 """
 
 
+def suggest_sql(prefix: str, k: int = 10) -> str:
+    """Oracle for SegmentIndex.suggest: top-k dictionary terms with the
+    prefix, by df desc then term asc (valid against a fold-clean index,
+    where block-count df == true df)."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH {TOKENS_CTE}
+SELECT term, count(*)::BIGINT AS df
+FROM post
+WHERE term LIKE '{p}%'
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {int(k)}
+"""
+
+
 def more_like_this_sql(doc_id: int, k: int = 10, max_query_terms: int = 25,
                        min_term_freq: int = 1, min_doc_freq: int = 1) -> str:
     """Oracle for operators/search_ext.more_like_this: tf·idf term

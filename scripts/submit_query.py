@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--must", default=None)
     ap.add_argument("--should", default=None)
     ap.add_argument("--must-not", dest="must_not", default=None)
+    ap.add_argument("--suggest", default=None, metavar="PREFIX",
+                    help="completion suggester: top-k prefix terms by df")
     ap.add_argument("--mlt", type=int, default=None, metavar="DOC_ID",
                     help="more_like_this source doc (needs --corpus)")
     ap.add_argument("--corpus", default=None,
@@ -61,6 +63,8 @@ def main() -> None:
             idx, must=args.must or "", should=args.should or "",
             must_not=args.must_not or "", k=args.k,
             min_should_match=args.msm)
+    elif args.suggest is not None:
+        df = idx.suggest(args.suggest, k=args.k, field=args.field)
     elif args.mlt is not None:
         if not args.corpus:
             raise SystemExit("--mlt requires --corpus <parquet path>")

@@ -154,3 +154,36 @@ def test_facets_vs_duckdb_oracle(spark):
                 "hash join", ["lang", "source"], mode="AND")).fetchall()]
     assert got == want and len(got) > 2
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_suggest_ranked_by_df(seg):
+    """Completion suggester: prefix terms by df desc, term asc; k cuts."""
+    # df per term from the hand corpus
+    from collections import Counter
+    df = Counter(t for _, text in DOCS for t in set(_toks(text)))
+    want = sorted(((t, n) for t, n in df.items() if t.startswith("al")),
+                  key=lambda x: (-x[1], x[0]))
+    got = [(r["term"], r["df"]) for r in seg.suggest("al", k=10).collect()]
+    assert got == want and got
+    assert [(r["term"], r["df"]) for r in seg.suggest("al", k=1).collect()] \
+        == want[:1]
+    assert seg.suggest("zz").count() == 0
+
+
+def test_suggest_vs_duckdb_oracle(spark):
+    from content_rw_elasticsearch_spark.oracle import suggest_sql
+    sf = "/root/testdata/sf0.001"
+    out = "/tmp/spark_graft_test_suggest_idx"
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    build_segments(docs, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=64, nb_max=4)
+    idx = SegmentIndex.load(spark, out)
+    got = [(r["term"], r["df"]) for r in idx.suggest("s", k=8).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(suggest_sql("s", k=8)).fetchall()
+    assert got == [(t, n) for t, n in want] and len(got) >= 6
+    shutil.rmtree(out, ignore_errors=True)
