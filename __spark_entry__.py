@@ -253,7 +253,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "hash join row", docs, "lang", k=10).select(
             F.lit("collapse").alias("variant"), "group_key", "doc_id",
             "score")
-        return a.unionByName(b)
+        # the same collapse over the PERSISTED store (exhaustive decode →
+        # full scored set → shared struct-argmax) — rank-identical
+        seg = _segment_index_for(spark, sf_dir)
+        c = seg.collapse("hash join row", docs, "lang", k=10,
+                         mode="OR").select(
+            F.lit("collapse_seg").alias("variant"), "group_key", "doc_id",
+            "score")
+        return a.unionByName(b).unionByName(c)
 
     out["bm25_and_skewed"] = _and_skewed_and_collapse
 
@@ -577,6 +584,9 @@ def oracle_sql() -> dict[str, str]:
                                mode=_spec["mode"])
         + ") UNION ALL SELECT doc_id, score, group_key, "
         "'collapse' AS variant FROM ("
+        + oracle.collapse_topk_sql("hash join row", "lang", k=10)
+        + ") UNION ALL SELECT doc_id, score, group_key, "
+        "'collapse_seg' AS variant FROM ("
         + oracle.collapse_topk_sql("hash join row", "lang", k=10) + ")"
     )
     _spec = REFERENCE_QUERIES["or_three"]

@@ -130,6 +130,33 @@ def more_like_this(
     )
 
 
+def collapse_scored(scored: DataFrame, meta: DataFrame, group_col: str,
+                    k: int, doc_col: str = "doc_id") -> DataFrame:
+    """The collapse kernel, shared by the logical (collapse_topk) and
+    persisted (SegmentIndex.collapse) paths: join (doc_id, score) hits
+    to ``meta[group_col]``, take the single best hit per group as ONE
+    partial-aggregable hash agg (see module docstring for why not a
+    window): struct compares lexicographically, so
+    max(struct(score, -doc_id)) = (best score, smallest doc_id) — the
+    engine-wide tie-break. Scores must arrive already rounded."""
+    hits = scored.join(
+        meta.select(F.col(doc_col).alias("doc_id"),
+                    F.col(group_col).cast("string").alias("group_key")),
+        "doc_id",
+    )
+    best = (
+        hits.groupBy("group_key")
+        .agg(F.max(F.struct(F.col("score"),
+                            (-F.col("doc_id")).alias("neg_id"))).alias("m"))
+        .select(
+            "group_key",
+            (-F.col("m.neg_id")).cast("long").alias("doc_id"),
+            F.col("m.score").alias("score"),
+        )
+    )
+    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+
+
 def collapse_topk(
     postings: DataFrame,
     stats: DataFrame,
@@ -153,20 +180,4 @@ def collapse_topk(
             [], "group_key string, doc_id long, score double")
     scored = _scored_or(postings, stats, n_docs, avgdl, terms).select(
         "doc_id", F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
-    hits = scored.join(
-        meta.select("doc_id", F.col(group_col).cast("string").alias("group_key")),
-        "doc_id",
-    )
-    # argmax per group as ONE partial-aggregable hash agg (see module
-    # docstring for why not a window): struct compares lexicographically,
-    # so max(struct(score, -doc_id)) = (best score, smallest doc_id).
-    best = (
-        hits.groupBy("group_key")
-        .agg(F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id"))).alias("m"))
-        .select(
-            "group_key",
-            (-F.col("m.neg_id")).cast("long").alias("doc_id"),
-            F.col("m.score").alias("score"),
-        )
-    )
-    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    return collapse_scored(scored, meta, group_col, k)

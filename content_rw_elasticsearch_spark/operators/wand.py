@@ -432,7 +432,7 @@ class SegmentIndex:
 
     # -- scoring ----------------------------------------------------------
     def _score(self, decoded: DataFrame, term_df: dict[str, int],
-               n_terms_required: int | None, k: int,
+               n_terms_required: int | None, k: "int | None",
                keep_classes: list[int] | None = None,
                n_docs: int | None = None,
                avgdl: float | None = None,
@@ -480,6 +480,8 @@ class SegmentIndex:
                 (F.col("score") < a_s)
                 | ((F.col("score") == a_s) & (F.col("doc_id") > a_d))
             )
+        if k is None:  # full scored match set (facet/collapse consumers)
+            return res
         return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # -- public -----------------------------------------------------------
@@ -981,6 +983,41 @@ class SegmentIndex:
             decoded.select(term_out.alias("term"), "doc_id", "tf")
             .orderBy("term", "doc_id")
         )
+
+    def collapse(self, query: str, docs: DataFrame, group_col: str,
+                 k: int = 10, mode: str = "OR",
+                 doc_col: str = "doc_id") -> DataFrame:
+        """ES field collapsing over the persisted store: best hit per
+        ``docs[group_col]``, groups ranked by that best score. Like
+        facets, collapse aggregates over the ENTIRE match set, so
+        block-max pruning is inapplicable by definition — one exhaustive
+        decode of the query terms feeds the full scored set (k=None),
+        then the shared struct-argmax kernel
+        (search_ext.collapse_scored). The ``docs`` join carries only the
+        (doc_id, group_col) columns of matching docs."""
+        from .search_ext import collapse_scored
+
+        prefix, n_docs, avgdl = self._resolve_field(None)
+        terms = sorted(
+            {prefix + t for t in analyze_query_py(query, self.analyzer)}
+        )
+        empty = self.spark.createDataFrame(
+            [], "group_key string, doc_id long, score double")
+        if not terms or n_docs == 0:
+            return empty
+        meta = self._meta(terms)
+        if meta.empty:
+            return empty
+        found = set(meta["term"].unique())
+        is_and = mode.upper() == "AND"
+        if is_and and found != set(terms):
+            return empty
+        terms = sorted(found)
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
+        full = self._score(self._decode(terms, None), term_df,
+                           len(terms) if is_and else None, None,
+                           n_docs=n_docs, avgdl=avgdl)
+        return collapse_scored(full, docs, group_col, k, doc_col=doc_col)
 
     def suggest(self, prefix: str, k: int = 10,
                 field: str | None = None) -> DataFrame:

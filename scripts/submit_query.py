@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--must-not", dest="must_not", default=None)
     ap.add_argument("--suggest", default=None, metavar="PREFIX",
                     help="completion suggester: top-k prefix terms by df")
+    ap.add_argument("--collapse-by", dest="collapse_by", default=None,
+                    metavar="COL",
+                    help="field collapsing: best hit per corpus column "
+                         "(needs --corpus)")
     ap.add_argument("--mlt", type=int, default=None, metavar="DOC_ID",
                     help="more_like_this source doc (needs --corpus)")
     ap.add_argument("--corpus", default=None,
@@ -65,6 +69,12 @@ def main() -> None:
             min_should_match=args.msm)
     elif args.suggest is not None:
         df = idx.suggest(args.suggest, k=args.k, field=args.field)
+    elif args.collapse_by is not None:
+        if not args.corpus:
+            raise SystemExit("--collapse-by requires --corpus <parquet path>")
+        docs = spark.read.parquet(args.corpus)
+        df = idx.collapse(args.query, docs, args.collapse_by, k=args.k,
+                          mode=args.mode)
     elif args.mlt is not None:
         if not args.corpus:
             raise SystemExit("--mlt requires --corpus <parquet path>")

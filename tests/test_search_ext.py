@@ -150,6 +150,17 @@ def test_segment_mlt_matches_inmemory(spark, idx, tmp_path):
                    n_buckets=2, target_block=8, nb_max=4)
     seg = SegmentIndex.load(spark, out)
     seg.prune_min_postings = 0  # force the pruned plan on the tiny corpus
+
+    # segment-store collapse == logical collapse (same kernel, same data)
+    got_c = [(r["group_key"], r["doc_id"], r["score"]) for r in
+             seg.collapse("hash join", corpus, "lang", k=10).collect()]
+    exp_c = [(r["group_key"], r["doc_id"], r["score"]) for r in
+             collapse_topk(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
+                           "hash join", corpus, "lang", k=10).collect()]
+    assert got_c == exp_c and got_c
+    # AND mode: absent term → empty
+    assert seg.collapse("hash zzznope", corpus, "lang", mode="AND").count() == 0
+
     for prune in (True, False):
         got = [(r["doc_id"], r["score"]) for r in
                seg.more_like_this(1, corpus, text_col="text", k=10,
