@@ -130,6 +130,91 @@ def more_like_this(
     )
 
 
+def explain_score(
+    postings: DataFrame,
+    stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    doc_id: int,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """The ES explain API: the per-term BM25 breakdown of one document's
+    score for a query. One row per query term present in the doc —
+    (term, tf, df, doc_len, idf, partial) — plus the idf/partial the
+    scorer actually sums (rounded like every other gate). The plan
+    touches the query terms' postings filtered to ONE doc_id (term is
+    the pruning key; the doc filter collapses it to ≤|q| rows) joined to
+    the broadcast |q|-row stats — no aggregation, no full decode."""
+    from ..functions.analyzer import analyze_query_py
+
+    terms = sorted(set(analyze_query_py(query, analyzer)))
+    schema = ("term string, tf long, df long, doc_len long, "
+              "idf double, partial double")
+    if not terms:
+        return postings.sparkSession.createDataFrame([], schema)
+    qstats = stats.filter(F.col("term").isin(terms))
+    rows = (
+        postings.filter(F.col("term").isin(terms)
+                        & (F.col("doc_id") == int(doc_id)))
+        .join(F.broadcast(qstats), "term")
+    )
+    partial = bm25_partial_col(
+        F.col("tf").cast("double"), F.col("doc_len").cast("double"),
+        F.col("df").cast("double"), n_docs, avgdl,
+    )
+    return (
+        rows.select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            F.round(idf_col(F.col("df").cast("double"), n_docs),
+                    ROUND_DECIMALS).alias("idf"),
+            F.round(partial, ROUND_DECIMALS).alias("partial"),
+        )
+        .orderBy("term")
+    )
+
+
+def explain_score_sql(query: str, doc_id: int,
+                      analyzer: str = "simple") -> str:
+    """DuckDB oracle for explain_score (same tokenize CTE as every other
+    gate; valid for the simple analyzer)."""
+    from .. import BM25_B, BM25_K1
+    from ..functions.analyzer import analyze_query_py
+    from ..oracle import TOKENS_CTE, _sql_str_list
+
+    terms = sorted(set(analyze_query_py(query, analyzer)))
+    if not terms:
+        return ("SELECT CAST(NULL AS VARCHAR) AS term, "
+                "CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df, "
+                "CAST(NULL AS BIGINT) AS doc_len, "
+                "CAST(NULL AS DOUBLE) AS idf, "
+                "CAST(NULL AS DOUBLE) AS partial WHERE FALSE")
+    return f"""
+WITH {TOKENS_CTE},
+qt AS (SELECT unnest({_sql_str_list(terms)}) AS term),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+)
+SELECT p.term, p.tf::BIGINT AS tf, s.df::BIGINT AS df,
+       d.doc_len::BIGINT AS doc_len,
+       round(ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5)), 4) AS idf,
+       round(ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+             * p.tf*({BM25_K1}+1)
+             / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)),
+             4) AS partial
+FROM post p
+JOIN stats s USING (term)
+JOIN dl d USING (doc_id)
+CROSS JOIN corpus c
+WHERE p.doc_id = {int(doc_id)}
+ORDER BY p.term
+"""
+
+
 def collapse_scored(scored: DataFrame, meta: DataFrame, group_col: str,
                     k: int, doc_col: str = "doc_id") -> DataFrame:
     """The collapse kernel, shared by the logical (collapse_topk) and

@@ -984,6 +984,45 @@ class SegmentIndex:
             .orderBy("term", "doc_id")
         )
 
+    def explain(self, query: str, doc_id: int) -> DataFrame:
+        """The ES explain API over the persisted store: per-term BM25
+        breakdown (term, tf, df, doc_len, idf, partial) of one doc's
+        score. Decodes only the query terms' blocks, filters to the one
+        doc_id, and reuses the logical explain kernel with the store's
+        Lucene-faithful df (block-count sums) and manifest norms — so
+        sum(partial) == the rounded-partial sum behind search()'s score
+        for that doc."""
+        from .search_ext import explain_score
+
+        prefix, n_docs, avgdl = self._resolve_field(None)
+        terms = sorted(
+            {prefix + t for t in analyze_query_py(query, self.analyzer)}
+        )
+        empty = self.spark.createDataFrame(
+            [], "term string, tf long, df long, doc_len long, "
+                "idf double, partial double")
+        if not terms or n_docs == 0:
+            return empty
+        meta = self._meta(terms)
+        if meta.empty:
+            return empty
+        found = sorted(set(meta["term"].unique()))
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
+        decoded = self._decode(found, None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull()
+                        | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        stats = self.spark.createDataFrame(
+            [(t, d) for t, d in term_df.items()], "term string, df long")
+        return explain_score(
+            decoded.select("term", "doc_id", "tf", "doc_len"), stats,
+            n_docs, avgdl, query, doc_id, analyzer=self.analyzer)
+
     def collapse(self, query: str, docs: DataFrame, group_col: str,
                  k: int = 10, mode: str = "OR",
                  doc_col: str = "doc_id") -> DataFrame:

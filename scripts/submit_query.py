@@ -42,6 +42,8 @@ def main() -> None:
     ap.add_argument("--must-not", dest="must_not", default=None)
     ap.add_argument("--suggest", default=None, metavar="PREFIX",
                     help="completion suggester: top-k prefix terms by df")
+    ap.add_argument("--explain", type=int, default=None, metavar="DOC_ID",
+                    help="per-term BM25 breakdown of one doc for --query")
     ap.add_argument("--collapse-by", dest="collapse_by", default=None,
                     metavar="COL",
                     help="field collapsing: best hit per corpus column "
@@ -69,6 +71,8 @@ def main() -> None:
             min_should_match=args.msm)
     elif args.suggest is not None:
         df = idx.suggest(args.suggest, k=args.k, field=args.field)
+    elif args.explain is not None:
+        df = idx.explain(args.query, args.explain)
     elif args.collapse_by is not None:
         if not args.corpus:
             raise SystemExit("--collapse-by requires --corpus <parquet path>")

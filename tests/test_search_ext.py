@@ -197,3 +197,53 @@ def test_mlt_and_collapse_vs_duckdb_oracle(spark, sf_smoke):
         assert gotc == [(g, d, s) for g, d, s in expc]
     finally:
         ix.unpersist()
+
+
+def test_explain_vs_duckdb_and_search_consistency(spark, idx, sf_smoke):
+    from content_rw_elasticsearch_spark.operators.search_ext import (
+        explain_score,
+        explain_score_sql,
+    )
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    from content_rw_elasticsearch_spark.engine import InMemoryIndex
+    ix = InMemoryIndex.build(docs, text_col="text", doc_col="doc_id")
+    try:
+        got = [tuple(r) for r in
+               explain_score(ix.postings, ix.stats, ix.n_docs, ix.avgdl,
+                             "hash join row", 7).collect()]
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_smoke}/documents.parquet'")
+        exp = con.sql(explain_score_sql("hash join row", 7)).fetchall()
+        assert got == exp and len(got) >= 1
+        # the breakdown sums to the doc's OR-search score (both rounded
+        # per-partial here, so compare within rounding slack)
+        s = ix.search("hash join row", k=10_000, mode="OR")
+        doc_score = [r["score"] for r in s.collect() if r["doc_id"] == 7]
+        assert doc_score, "doc 7 must match the query"
+        assert abs(sum(p for *_, p in got) - doc_score[0]) < 5e-4 * len(got)
+    finally:
+        ix.unpersist()
+
+
+def test_segment_explain_matches_inmemory(spark, idx, tmp_path):
+    from content_rw_elasticsearch_spark.operators.search_ext import (
+        explain_score,
+    )
+    from content_rw_elasticsearch_spark.operators.segments import (
+        build_segments,
+    )
+    from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+
+    corpus = spark.createDataFrame(DOCS,
+                                   "doc_id long, text string, lang string")
+    out = str(tmp_path / "explidx")
+    build_segments(corpus, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=8, nb_max=4)
+    seg = SegmentIndex.load(spark, out)
+    got = [tuple(r) for r in seg.explain("hash join", 1).collect()]
+    exp = [tuple(r) for r in
+           explain_score(idx.postings, idx.stats, idx.n_docs, idx.avgdl,
+                         "hash join", 1).collect()]
+    assert got == exp and len(got) == 2
+    assert seg.explain("zzznope", 1).count() == 0
