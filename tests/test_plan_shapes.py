@@ -97,3 +97,45 @@ def test_metadata_phase_reads_no_binary_columns(seg):
     for ln in read_lines:
         assert "docs_vb" not in ln and "tfs_vb" not in ln \
             and "dlens_vb" not in ln and "pos_vb" not in ln, ln
+
+
+def test_suggest_is_metadata_only(seg):
+    """The suggester never decodes postings: no python stage in the plan
+    (the decode path is mapInPandas) and no binary posting column in any
+    ReadSchema — the scan reads (term, count) only (COVERAGE §2.K
+    suggester row)."""
+    plan = _executed(seg.suggest("s", k=5))
+    assert "pythonUDF" not in plan and "MapInPandas" not in plan, plan
+    read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_lines
+    for ln in read_lines:
+        assert "docs_vb" not in ln and "tfs_vb" not in ln, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_collapse_has_no_window(spark, seg):
+    """Collapse is a hash aggregation, never a Window over the hit set
+    (a window would shuffle every hit row by group and serialize hot
+    groups on single tasks — COVERAGE §2.K collapse row)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    df = seg.collapse("hash join", docs, "lang", k=5)
+    plan = _executed(df)
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_mlt_stats_join_is_broadcast(spark):
+    """more_like_this joins the |q|-row stats into the postings scan as
+    a broadcast, never a shuffle join (COVERAGE §2.K MLT row)."""
+    from content_rw_elasticsearch_spark.engine import InMemoryIndex
+    from content_rw_elasticsearch_spark.operators.search_ext import (
+        more_like_this,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    ix = InMemoryIndex.build(docs, text_col="text", doc_col="doc_id",
+                             cache=False)
+    df = more_like_this(ix.postings, ix.stats, ix.n_docs, ix.avgdl,
+                        doc_id=7, k=5)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
