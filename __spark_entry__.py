@@ -282,6 +282,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             p2.withColumn("page", F.lit(2)))
 
     out["wand_or_three"] = _wand_or_paged
+
+    # wand_and_two also carries the ES bool.filter context (r5): the SAME
+    # pruned plan with a metadata filter (documents.lang = 'en') that
+    # restricts matches WITHOUT touching scores — θ is seeded from
+    # filtered scores and the class upper bounds stay valid because a
+    # filter only removes docs (see SegmentIndex.search). 141 of 500
+    # sf0.01 docs match the AND + filter, so the leg is non-vacuous.
+    def _wand_and_two_filtered(spark, sf_dir):
+        from pyspark.sql import functions as F
+        spec = REFERENCE_QUERIES["and_two"]
+        seg = _segment_index_for(spark, sf_dir)
+        base = seg.search(spec["query"], k=spec["k"], mode=spec["mode"],
+                          prune=True).withColumn("variant", F.lit("pruned"))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        flt = seg.search(
+            spec["query"], k=spec["k"], mode=spec["mode"], prune=True,
+            filter_ids=docs.filter(F.col("lang") == "en").select("doc_id"),
+        ).withColumn("variant", F.lit("filtered"))
+        return base.unionByName(flt)
+
+    out["wand_and_two"] = _wand_and_two_filtered
+
+    # wand_single_hot also carries the ES rescore analog (r5): the BM25
+    # top-30 window of "join" re-ranked by a match_phrase "hash join"
+    # secondary (Lucene PhraseQuery scoring over the positional store),
+    # combined = 1.0*bm25 + 1.0*phrase_score — vs a DuckDB replay of the
+    # window + phrase chain + combination (oracle.rescore_sql).
+    def _wand_single_hot_rescore(spark, sf_dir):
+        from pyspark.sql import functions as F
+        spec = REFERENCE_QUERIES["single_hot"]
+        seg = _segment_index_for(spark, sf_dir)
+        base = seg.search(spec["query"], k=spec["k"], mode=spec["mode"],
+                          prune=True).withColumn("variant", F.lit("pruned"))
+        segp = _segment_index_for(spark, sf_dir, with_positions=True)
+        rs = segp.rescore(spec["query"], "hash join", k=spec["k"],
+                          window_size=30).withColumn(
+            "variant", F.lit("rescore"))
+        return base.unionByName(rs)
+
+    out["wand_single_hot"] = _wand_single_hot_rescore
+
+    # wand_and_allhot also carries ES function_score/field_value_factor
+    # (r5): bm25 * log1p(n_chars) over the FULL match set (per-doc
+    # multipliers void block-max pruning — see
+    # SegmentIndex.function_score), top-k via TakeOrderedAndProject.
+    def _wand_and_allhot_fscore(spark, sf_dir):
+        from pyspark.sql import functions as F
+        spec = REFERENCE_QUERIES["and_allhot"]
+        seg = _segment_index_for(spark, sf_dir)
+        base = seg.search(spec["query"], k=spec["k"], mode=spec["mode"],
+                          prune=True).withColumn("variant", F.lit("pruned"))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fs = seg.function_score(spec["query"], docs, "n_chars",
+                                k=spec["k"], mode=spec["mode"]
+                                ).withColumn("variant", F.lit("fscore"))
+        return base.unionByName(fs)
+
+    out["wand_and_allhot"] = _wand_and_allhot_fscore
     # segment_or_three carries the ES-highlighter analog on top of the
     # same exhaustive (prune=False) OR ranking: score still compared to
     # the same BM25 oracle, PLUS per-hit best-window snippet +
@@ -561,6 +619,37 @@ def oracle_sql() -> dict[str, str]:
         if name == "and_two":
             out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
+    # r5 variant legs in the wand slots: filter context (and_two),
+    # rescore (single_hot), function_score (and_allhot) — each unions the
+    # original pruned gate with the new feature's own oracle replay
+    _spec = REFERENCE_QUERIES["and_two"]
+    out["wand_and_two"] = (
+        "SELECT *, 'pruned' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"])
+        + ") UNION ALL SELECT *, 'filtered' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"],
+                               filter_where="lang = 'en'") + ")"
+    )
+    _spec = REFERENCE_QUERIES["single_hot"]
+    out["wand_single_hot"] = (
+        "SELECT *, 'pruned' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"])
+        + ") UNION ALL SELECT *, 'rescore' AS variant FROM ("
+        + oracle.rescore_sql(_spec["query"], "hash join", k=_spec["k"],
+                             window_size=30) + ")"
+    )
+    _spec = REFERENCE_QUERIES["and_allhot"]
+    out["wand_and_allhot"] = (
+        "SELECT *, 'pruned' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"])
+        + ") UNION ALL SELECT *, 'fscore' AS variant FROM ("
+        + oracle.function_score_sql(_spec["query"], k=_spec["k"],
+                                    mode=_spec["mode"]) + ")"
+    )
     # single_hot carries the more_like_this variant (same params as the
     # Spark leg: source doc 7, min_term_freq=2, min_doc_freq=2)
     _spec = REFERENCE_QUERIES["single_hot"]

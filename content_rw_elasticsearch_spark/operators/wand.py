@@ -437,7 +437,8 @@ class SegmentIndex:
                n_docs: int | None = None,
                avgdl: float | None = None,
                min_terms: int | None = None,
-               after: "tuple[float, int] | None" = None) -> DataFrame:
+               after: "tuple[float, int] | None" = None,
+               filter_ids: DataFrame | None = None) -> DataFrame:
         tomb = self._tombstones()
         if tomb is not None:
             decoded = (
@@ -445,6 +446,15 @@ class SegmentIndex:
                 .filter(F.col("tgen").isNull() | (F.col("tgen") <= F.col("gen")))
                 .drop("tgen")
             )
+        if filter_ids is not None:
+            # ES filter context: restrict the candidate set WITHOUT touching
+            # scores — a left-semi join on doc_id applied before aggregation
+            # so filtered-out postings never reach the scorer. The filter
+            # set can be corpus-sized, so no broadcast hint: AQE picks the
+            # strategy (BHJ when the filter is small, SMJ/shuffled-hash when
+            # it isn't).
+            decoded = decoded.join(
+                filter_ids.select("doc_id"), "doc_id", "left_semi")
         stats = self.spark.createDataFrame(
             [(t, d) for t, d in term_df.items()], "term string, df long"
         )
@@ -488,7 +498,8 @@ class SegmentIndex:
     def search(self, query: str, k: int = 10, mode: str = "AND",
                prune: bool = True, field: str | None = None,
                min_should_match: int | None = None,
-               after: "tuple[float, int] | None" = None) -> DataFrame:
+               after: "tuple[float, int] | None" = None,
+               filter_ids: DataFrame | None = None) -> DataFrame:
         """BM25 top-k. On a fielded index ``field`` picks the scope
         (default: the manifest's default_field); terms become composite
         ``field\x1fterm`` keys and BM25 uses that field's docCount/avgdl.
@@ -502,7 +513,14 @@ class SegmentIndex:
         (score desc, doc_id asc) total order. Deep pagination stays
         O(k) per page (no offset scan); block-max pruning still applies
         because theta is seeded from post-cursor scores, and every doc a
-        page needs scores >= that theta."""
+        page needs scores >= that theta.
+        ``filter_ids`` is the ES bool.filter context: a (doc_id) DataFrame
+        restricting the match set WITHOUT contributing to scores (filters
+        carry no BM25 weight in ES either). Pruning stays valid because a
+        filter only REMOVES documents: every class upper bound ub(g) still
+        bounds every surviving doc's score, and θ — seeded from the
+        FILTERED seed classes' k-th score — only prunes classes whose best
+        possible (unfiltered) score is already below it."""
         prefix, n_docs, avgdl = self._resolve_field(field)
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
@@ -535,7 +553,7 @@ class SegmentIndex:
         if not prune or sum(term_df.values()) <= self.prune_min_postings:
             return self._score(self._decode(terms, None), term_df, required, k,
                                n_docs=n_docs, avgdl=avgdl, min_terms=msm,
-                               after=after)
+                               after=after, filter_ids=filter_ids)
 
         # ---- block-max pruning math (driver-side, metadata only) ----
         nb_all = self.nb_max
@@ -589,7 +607,7 @@ class SegmentIndex:
         seed_top = self._score(
             self._decode(terms, seed_keys), term_df, required, k,
             keep_classes=seed, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
-            after=after,
+            after=after, filter_ids=filter_ids,
         ).collect()
         if len(seed_top) >= k:
             # θ is derived from a ROUNDED score; subtract a half-ulp of the
@@ -604,7 +622,7 @@ class SegmentIndex:
         return self._score(
             self._decode(terms, keep_keys), term_df, required, k,
             keep_classes=keep, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
-            after=after,
+            after=after, filter_ids=filter_ids,
         )
 
     def phrase_search(self, phrase: str, field: str | None = None,
@@ -856,6 +874,139 @@ class SegmentIndex:
         for pdf in parts[1:]:
             cur = cur.unionByName(pdf)
         return cur.orderBy(F.asc("facet"), F.desc("n"), F.asc("value"))
+
+    def rescore(self, query: str, phrase: str, k: int = 10,
+                window_size: int = 50, query_weight: float = 1.0,
+                rescore_weight: float = 1.0, mode: str = "AND") -> DataFrame:
+        """ES ``rescore`` analog (the reference's query surface lives in
+        Elasticsearch — configs/referenceSchema.json — which rescores a
+        top window with a secondary query, typically ``match_phrase``):
+        take the BM25 top ``window_size`` of ``query``, score ``phrase``
+        against those docs with Lucene PhraseQuery semantics — idf summed
+        over the phrase's term LIST (duplicates counted per occurrence),
+        tf = phrase frequency, the same k1/b length saturation — and
+        re-rank by
+
+            query_weight * bm25 + rescore_weight * phrase_score
+
+        Docs outside the window never enter (ES semantics); window docs
+        without the phrase keep phrase_score = 0. Requires a positional
+        index (phrase_search).
+
+        Scale shape: the window is <= window_size rows, so everything
+        derived from it is broadcast-sized. The phrase match is the
+        class-pruned positional decode phrase_search already does; its
+        output and the one-term doc_len decode are both cut down to the
+        window by a broadcast left-semi join BEFORE the outer join, so no
+        corpus-sized side ever builds a hash table."""
+        win = self.search(query, k=window_size, mode=mode)
+        prefix, n_docs, avgdl = self._resolve_field(None)
+        pterms = [prefix + t
+                  for t in analyze_query_py(phrase, self.analyzer)]
+        qw, rw = float(query_weight), float(rescore_weight)
+
+        def rank(df: DataFrame) -> DataFrame:
+            return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+        passthrough = win.select(
+            "doc_id", F.round(F.lit(qw) * F.col("score"),
+                              ROUND_DECIMALS).alias("score"))
+        if not pterms:
+            return rank(passthrough)
+        meta = self._meta(sorted(set(pterms)))
+        if meta.empty or set(meta["term"].unique()) != set(pterms):
+            # a phrase term absent from the corpus => no phrase matches
+            return rank(passthrough)
+        # Lucene-faithful df (metadata counts, superseded postings included
+        # until fold — same caveat as search()); idf summed per OCCURRENCE
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
+        idf_sum = sum(self._idf(term_df[t], n_docs) for t in pterms)
+        win_ids = F.broadcast(win.select("doc_id"))
+        ph = (self.phrase_search(phrase)
+              .join(win_ids, "doc_id", "left_semi"))
+        # doc_len: decode ONE phrase term's postings (every phrase doc
+        # contains every phrase term), window-restricted, tombstone-aware
+        dl = self._decode([pterms[0]], None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            dl = (dl.join(F.broadcast(tomb), "doc_id", "left")
+                  .filter(F.col("tgen").isNull()
+                          | (F.col("tgen") <= F.col("gen")))
+                  .drop("tgen"))
+        dl = (dl.join(win_ids, "doc_id", "left_semi")
+              .groupBy("doc_id").agg(F.max("doc_len").alias("doc_len")))
+        ptf = F.col("phrase_tf").cast("double")
+        sat = ptf * (BM25_K1 + 1.0) / (
+            ptf + BM25_K1 * (1.0 - BM25_B
+                             + BM25_B * F.col("doc_len") / F.lit(avgdl)))
+        sec = (ph.join(dl, "doc_id")
+               .select("doc_id", (F.lit(idf_sum) * sat).alias("sec")))
+        combined = win.join(F.broadcast(sec), "doc_id", "left").select(
+            "doc_id",
+            F.round(F.lit(qw) * F.col("score")
+                    + F.lit(rw) * F.coalesce(F.col("sec"), F.lit(0.0)),
+                    ROUND_DECIMALS).alias("score"))
+        return rank(combined)
+
+    def function_score(self, query: str, docs: DataFrame, factor_col: str,
+                       k: int = 10, mode: str = "AND", factor: float = 1.0,
+                       modifier: str = "log1p",
+                       boost_mode: str = "multiply",
+                       doc_col: str = "doc_id",
+                       field: str | None = None) -> DataFrame:
+        """ES ``function_score`` / ``field_value_factor`` analog: top-k by
+
+            bm25 <boost_mode> modifier(factor * doc[factor_col])
+
+        with modifier in {log1p, sqrt, none} and boost_mode in
+        {multiply, sum} — the recency/popularity boost shape the
+        reference's ES queries get for free from the serving index.
+
+        Block-max pruning is OFF here by construction: a per-document
+        multiplier voids the per-class score upper bounds (a low-BM25 doc
+        with a huge field value can out-rank every seed), so this scores
+        the FULL match set — exhaustive decode like match_ids — joins the
+        boost column (column-pruned to (doc_id, factor_col)), and takes
+        top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+        heaps, k rows to the driver)."""
+        if modifier not in ("log1p", "sqrt", "none"):
+            raise ValueError(f"unknown modifier {modifier!r}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"unknown boost_mode {boost_mode!r}")
+        prefix, n_docs, avgdl = self._resolve_field(field)
+        terms = sorted(
+            {prefix + t for t in analyze_query_py(query, self.analyzer)}
+        )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms or n_docs == 0:
+            return empty
+        meta = self._meta(terms)
+        if meta.empty:
+            return empty
+        found = set(meta["term"].unique())
+        is_and = mode.upper() == "AND"
+        if is_and and found != set(terms):
+            return empty
+        terms = sorted(found)
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
+        required = len(terms) if is_and else None
+        scored = self._score(self._decode(terms, None), term_df, required,
+                             None, n_docs=n_docs, avgdl=avgdl)
+        fac = F.col(factor_col).cast("double") * F.lit(float(factor))
+        boost = {"log1p": F.log1p(fac), "sqrt": F.sqrt(fac),
+                 "none": fac}[modifier]
+        boosts = docs.select(F.col(doc_col).alias("doc_id"),
+                             boost.alias("boost"))
+        combined = (F.col("score") * F.col("boost")
+                    if boost_mode == "multiply"
+                    else F.col("score") + F.col("boost"))
+        return (
+            scored.join(boosts, "doc_id")
+            .select("doc_id",
+                    F.round(combined, ROUND_DECIMALS).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_multi(self, query: str, weights: dict[str, float],
                      k: int = 10, mode: str = "AND") -> DataFrame:

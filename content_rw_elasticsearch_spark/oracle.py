@@ -38,8 +38,12 @@ def _sql_str_list(terms: list[str]) -> str:
 
 def bm25_topk_sql(query: str, k: int = 10, mode: str = "AND",
                   not_terms: list[str] | None = None,
-                  min_should_match: int | None = None) -> str:
-    """DuckDB SQL computing the same top-k as operators/bm25.bm25_topk."""
+                  min_should_match: int | None = None,
+                  filter_where: str | None = None) -> str:
+    """DuckDB SQL computing the same top-k as operators/bm25.bm25_topk.
+    ``filter_where`` is the ES bool.filter context (SegmentIndex.search
+    filter_ids): a predicate over the documents table restricting the
+    match set BEFORE the top-k cut, with no score contribution."""
     terms = sorted(set(analyze_query_py(query, "simple")))
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE FALSE"
@@ -55,6 +59,11 @@ def bm25_topk_sql(query: str, k: int = 10, mode: str = "AND",
         not_clause = (
             "AND doc_id NOT IN (SELECT doc_id FROM post "
             f"WHERE term IN (SELECT unnest({lst})))"
+        )
+    if filter_where:
+        not_clause += (
+            " AND doc_id IN (SELECT doc_id FROM documents "
+            f"WHERE {filter_where})"
         )
     return f"""
 WITH {TOKENS_CTE},
@@ -898,6 +907,139 @@ FROM pos p0{joins}
 WHERE {conds}
 GROUP BY p0.doc_id
 ORDER BY p0.doc_id
+"""
+
+
+def rescore_sql(query: str, phrase: str, k: int = 10,
+                window_size: int = 50, query_weight: float = 1.0,
+                rescore_weight: float = 1.0, mode: str = "AND") -> str:
+    """DuckDB replay of SegmentIndex.rescore: BM25 top ``window_size``
+    window re-ranked by query_weight*bm25 + rescore_weight*phrase_score,
+    phrase_score = Lucene PhraseQuery (idf summed over the phrase's term
+    LIST incl. duplicates, tf = phrase frequency, same k1/b saturation).
+    Window docs without the phrase keep phrase_score = 0; docs outside
+    the window never enter."""
+    qterms = sorted(set(analyze_query_py(query, "simple")))
+    pterms = analyze_query_py(phrase, "simple")
+    having = f"HAVING count(*) = {len(qterms)}" if mode.upper() == "AND" else ""
+    qw, rw = float(query_weight), float(rescore_weight)
+    if not qterms:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    if not pterms:
+        base = bm25_topk_sql(query, k=window_size, mode=mode)
+        return (f"SELECT doc_id, round({qw!r} * score, {ROUND_DECIMALS}) "
+                f"AS score FROM ({base}) "
+                f"ORDER BY score DESC, doc_id ASC LIMIT {k}")
+    conds = " AND ".join(
+        f"p{i}.term = '{t.replace(chr(39), chr(39) * 2)}'"
+        for i, t in enumerate(pterms)
+    )
+    joins = "".join(
+        f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.pos = p0.pos + {i}"
+        for i in range(1, len(pterms))
+    )
+    return f"""
+WITH {TOKENS_CTE},
+qt AS (SELECT unnest({_sql_str_list(qterms)}) AS term),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+winraw AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+              * p.tf*({BM25_K1}+1)
+              / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)) ) AS raw
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+  {having}
+),
+win AS (
+  SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score
+  FROM winraw ORDER BY score DESC, doc_id ASC LIMIT {window_size}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM docs
+  WHERE doc_id IN (SELECT doc_id FROM win)
+),
+ph AS (
+  SELECT p0.doc_id, count(*)::DOUBLE AS phrase_tf
+  FROM pos p0{joins}
+  WHERE {conds}
+  GROUP BY p0.doc_id
+),
+pidf AS (
+  SELECT sum(ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))) AS idfsum
+  FROM (SELECT unnest({_sql_str_list(list(pterms))}) AS term) q
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term) s
+    USING (term)
+  CROSS JOIN corpus c
+)
+SELECT w.doc_id,
+       round({qw!r} * w.score + {rw!r} * coalesce(
+         i.idfsum * p.phrase_tf*({BM25_K1}+1)
+         / (p.phrase_tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)),
+         0.0), {ROUND_DECIMALS}) AS score
+FROM win w
+LEFT JOIN ph p USING (doc_id)
+JOIN dl d USING (doc_id)
+CROSS JOIN corpus c
+CROSS JOIN pidf i
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def function_score_sql(query: str, k: int = 10, mode: str = "AND",
+                       factor: float = 1.0, modifier: str = "log1p",
+                       boost_mode: str = "multiply",
+                       factor_col: str = "n_chars") -> str:
+    """DuckDB replay of SegmentIndex.function_score: BM25 over the FULL
+    match set (no window — per-doc multipliers void top-k pruning),
+    combined with modifier(factor * documents.factor_col) per boost_mode,
+    rounded like the engine (round the bm25 first, then the combination)."""
+    terms = sorted(set(analyze_query_py(query, "simple")))
+    if not terms:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    having = f"HAVING count(*) = {len(terms)}" if mode.upper() == "AND" else ""
+    fac = f"({factor!r} * m.{factor_col}::DOUBLE)"
+    boost = {"log1p": f"ln(1 + {fac})", "sqrt": f"sqrt({fac})",
+             "none": fac}[modifier]
+    op = "*" if boost_mode == "multiply" else "+"
+    return f"""
+WITH {TOKENS_CTE},
+qt AS (SELECT unnest({_sql_str_list(terms)}) AS term),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+              * p.tf*({BM25_K1}+1)
+              / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)) ) AS raw
+  FROM post p
+  JOIN stats s USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+  {having}
+)
+SELECT s.doc_id,
+       round(round(s.raw, {ROUND_DECIMALS}) {op} {boost},
+             {ROUND_DECIMALS}) AS score
+FROM scored s
+JOIN documents m ON m.doc_id = s.doc_id
+ORDER BY score DESC, s.doc_id ASC
+LIMIT {k}
 """
 
 

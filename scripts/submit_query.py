@@ -12,6 +12,15 @@ Query shapes (one per invocation):
   --must/--should/--must-not  ES bool query (overrides --query)
   --mlt DOC_ID --corpus PATH  more_like_this (source text re-analyzed
                               from the corpus parquet; --text-col)
+  --filter-where EXPR --corpus PATH   ES bool.filter context: restrict
+                              matches by a corpus predicate, scores
+                              unchanged
+  --rescore PHRASE [--rescore-window N --query-weight W --rescore-weight W]
+                              ES rescore: phrase re-rank of the BM25 top
+                              window (positional index)
+  --boost-col COL --corpus PATH [--boost-modifier M --boost-mode B
+                              --boost-factor F]   ES function_score /
+                              field_value_factor
 """
 
 from __future__ import annotations
@@ -54,6 +63,28 @@ def main() -> None:
                     help="corpus parquet path for --mlt source text")
     ap.add_argument("--text-col", dest="text_col", default="content")
     ap.add_argument("--no-prune", action="store_true")
+    ap.add_argument("--filter-where", dest="filter_where", default=None,
+                    metavar="EXPR",
+                    help="bool.filter context: SQL predicate over --corpus "
+                         "restricting matches without changing scores")
+    ap.add_argument("--rescore", default=None, metavar="PHRASE",
+                    help="rescore the BM25 top window with a match_phrase")
+    ap.add_argument("--rescore-window", dest="rescore_window", type=int,
+                    default=50)
+    ap.add_argument("--query-weight", dest="query_weight", type=float,
+                    default=1.0)
+    ap.add_argument("--rescore-weight", dest="rescore_weight", type=float,
+                    default=1.0)
+    ap.add_argument("--boost-col", dest="boost_col", default=None,
+                    metavar="COL",
+                    help="function_score field_value_factor column "
+                         "(needs --corpus)")
+    ap.add_argument("--boost-modifier", dest="boost_modifier",
+                    default="log1p", choices=["log1p", "sqrt", "none"])
+    ap.add_argument("--boost-mode", dest="boost_mode", default="multiply",
+                    choices=["multiply", "sum"])
+    ap.add_argument("--boost-factor", dest="boost_factor", type=float,
+                    default=1.0)
     args = ap.parse_args()
 
     from content_rw_elasticsearch_spark.operators.boolquery import (
@@ -85,6 +116,21 @@ def main() -> None:
         docs = spark.read.parquet(args.corpus)
         df = idx.more_like_this(args.mlt, docs, text_col=args.text_col,
                                 k=args.k, prune=not args.no_prune)
+    elif args.rescore is not None:
+        df = idx.rescore(args.query, args.rescore, k=args.k,
+                         window_size=args.rescore_window,
+                         query_weight=args.query_weight,
+                         rescore_weight=args.rescore_weight,
+                         mode=args.mode)
+    elif args.boost_col is not None:
+        if not args.corpus:
+            raise SystemExit("--boost-col requires --corpus <parquet path>")
+        docs = spark.read.parquet(args.corpus)
+        df = idx.function_score(args.query, docs, args.boost_col, k=args.k,
+                                mode=args.mode, factor=args.boost_factor,
+                                modifier=args.boost_modifier,
+                                boost_mode=args.boost_mode,
+                                field=args.field)
     elif args.phrase:
         df = idx.phrase_search(args.query, field=args.field, slop=args.slop)
     elif args.prefix is not None:
@@ -98,9 +144,17 @@ def main() -> None:
         if args.after:
             score, doc = args.after.split(":")
             after = (float(score), int(doc))
+        fids = None
+        if args.filter_where:
+            if not args.corpus:
+                raise SystemExit(
+                    "--filter-where requires --corpus <parquet path>")
+            fids = (spark.read.parquet(args.corpus)
+                    .filter(args.filter_where).select("doc_id"))
         df = idx.search(args.query, k=args.k, mode=args.mode,
                         prune=not args.no_prune, field=args.field,
-                        min_should_match=args.msm, after=after)
+                        min_should_match=args.msm, after=after,
+                        filter_ids=fids)
     for row in df.collect():
         print(tuple(row))
     spark.stop()

@@ -139,3 +139,53 @@ def test_mlt_stats_join_is_broadcast(spark):
     plan = _executed(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_context_pushes_predicate(spark, seg):
+    """bool.filter context: the metadata predicate behind filter_ids
+    reaches the documents parquet scan as a pushed filter, and that scan
+    is column-pruned to the predicate + id columns — the corpus text is
+    never read to build a filter set (COVERAGE §2.K filter-context row)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = docs.filter(docs.lang == "en").select("doc_id")
+    plan = _executed(seg.search("hash join", k=5, mode="AND",
+                                prune=False, filter_ids=ids))
+    doc_scans = [ln for ln in plan.splitlines()
+                 if "PushedFilters" in ln and "lang" in ln]
+    assert any("EqualTo(lang,en)" in ln for ln in doc_scans), plan
+    read_lines = [ln for ln in plan.splitlines()
+                  if "ReadSchema" in ln and "lang" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines), plan
+    # and the filter applies as a semi-join (docs only removed, never
+    # duplicated into the scorer)
+    assert "LeftSemi" in plan, plan
+
+
+def test_rescore_window_sides_are_broadcast(spark):
+    """rescore: every window-derived side (phrase semi-cut, doc_len
+    semi-cut, final combine) joins as a broadcast of the <=window_size
+    rows — the corpus-sized phrase side never builds a shuffle hash
+    table (SCALE.md rescore entry)."""
+    import tempfile
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    out = tempfile.mkdtemp(prefix="plans_rs_") + "/idx"
+    build_segments(docs, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=64, nb_max=4,
+                   with_positions=True)
+    idx = SegmentIndex.load(spark, out)
+    plan = _executed(idx.rescore("join", "hash join", k=5, window_size=10))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_function_score_boost_scan_is_pruned(spark, seg):
+    """function_score: the boost-column scan reads (doc_id, factor_col)
+    only — never the text — and the top-k is TakeOrderedAndProject
+    (per-partition heaps), not a global sort (COVERAGE §2.K
+    function_score row)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(seg.function_score("hash join", docs, "n_chars",
+                                        k=5, mode="AND"))
+    read_lines = [ln for ln in plan.splitlines()
+                  if "ReadSchema" in ln and "n_chars" in ln]
+    assert read_lines and all("text" not in ln for ln in read_lines), plan
+    assert "TakeOrderedAndProject" in plan, plan
