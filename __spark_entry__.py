@@ -121,6 +121,32 @@ def _fielded_segment_index_for(spark: SparkSession, sf_dir: str) -> SegmentIndex
     return _SEG_CACHE[key]
 
 
+def _shard_indexes_for(spark: SparkSession, sf_dir: str,
+                       n_shards: int = 2) -> list[SegmentIndex]:
+    """Two shard indexes built over disjoint doc_id % n halves — the
+    partitioned-build shape a 10^12-file corpus uses (each shard is an
+    independent build over its id range; operators/wand.search_sharded
+    merges df/n_docs/avgdl at query time)."""
+    key = (id(spark), sf_dir, "shards", n_shards)
+    if key not in _SEG_CACHE:
+        from pyspark.sql import functions as F
+        slug = sf_dir.strip("/").replace("/", "_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idxs = []
+        for s in range(n_shards):
+            out = (f"/tmp/spark_graft_segidx_v{__version__}"
+                   f"_shard{s}of{n_shards}_{slug}")
+            build_segments(
+                docs.filter(F.col("doc_id") % n_shards == s), out,
+                text_col="text", doc_col="doc_id", analyzer="simple",
+                n_buckets=2, target_block=512, nb_max=64,
+                snapshot_id=sf_dir,
+            )
+            idxs.append(SegmentIndex.load(spark, out))
+        _SEG_CACHE[key] = idxs
+    return _SEG_CACHE[key]
+
+
 def _wand_query(name: str, prune: bool, spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = REFERENCE_QUERIES[name]
     seg = _segment_index_for(spark, sf_dir)
@@ -303,6 +329,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return base.unionByName(flt)
 
     out["wand_and_two"] = _wand_and_two_filtered
+
+    # segment_and_two also carries sharded/alias search (r5): the same
+    # query over TWO disjoint doc_id%2 shard indexes must be
+    # rank-identical to the union-index gate and to the same oracle —
+    # the ES dfs_query_then_fetch property (global df/n_docs/avgdl
+    # merged before scoring) that a partitioned 10^12-file build needs.
+    def _segment_and_two_sharded(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from content_rw_elasticsearch_spark.operators.wand import (
+            search_sharded,
+        )
+        spec = REFERENCE_QUERIES["and_two"]
+        base = _wand_query("and_two", False, spark, sf_dir).withColumn(
+            "variant", F.lit("exhaustive"))
+        sh = search_sharded(_shard_indexes_for(spark, sf_dir),
+                            spec["query"], k=spec["k"], mode=spec["mode"]
+                            ).withColumn("variant", F.lit("sharded"))
+        return base.unionByName(sh)
+
+    out["segment_and_two"] = _segment_and_two_sharded
 
     # wand_single_hot also carries the ES rescore analog (r5): the BM25
     # top-30 window of "join" re-ranked by a match_phrase "hash join"
@@ -620,9 +667,18 @@ def oracle_sql() -> dict[str, str]:
             out[f"segment_{name}"] = sql
         out[f"wand_{name}"] = sql
     # r5 variant legs in the wand slots: filter context (and_two),
-    # rescore (single_hot), function_score (and_allhot) — each unions the
-    # original pruned gate with the new feature's own oracle replay
+    # rescore (single_hot), function_score (and_allhot), sharded search
+    # (segment_and_two) — each unions the original gate with the new
+    # feature's own oracle replay
     _spec = REFERENCE_QUERIES["and_two"]
+    out["segment_and_two"] = (
+        "SELECT *, 'exhaustive' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"])
+        + ") UNION ALL SELECT *, 'sharded' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"]) + ")"
+    )
     out["wand_and_two"] = (
         "SELECT *, 'pruned' AS variant FROM ("
         + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],

@@ -1407,3 +1407,103 @@ class SegmentIndex:
                 if int(s) in have:
                     keys.add((t, int(gen), int(s)))
         return keys
+
+
+def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
+                   mode: str = "AND") -> DataFrame:
+    """ES alias / distributed-search analog: one BM25 top-k over N shard
+    indexes that returns EXACTLY what a single index built over the union
+    corpus would return. That is the property ES's coordinating node gets
+    from its df-merging dfs_query_then_fetch mode — and the property a
+    10^12-file build needs, because at that scale the index IS built as
+    independent per-partition-range shards (the reference delegates this
+    to the ES cluster; see BASELINE north rule's term-range partitioning
+    + two-level merge).
+
+    How exactness is preserved:
+      * global stats are merged BEFORE scoring — n_docs = Σ shardᵢ.n_docs,
+        avgdl = Σ(n_docsᵢ·avgdlᵢ)/Σ n_docsᵢ (i.e. total tokens over total
+        docs), per-term df = Σ shard metadata counts — so idf and length
+        norms are identical to the union index's;
+      * each shard contributes its tombstone-filtered decoded postings;
+        AND-mode shards missing a query term are skipped outright (a doc
+        matching ALL terms must find every term in its OWN shard);
+      * ONE global aggregation scores the union — doc_ids are required to
+        be globally unique across shards (the partitioned-build contract:
+        disjoint id ranges per shard, recorded in each manifest's lineage).
+
+    Scale shape: per-shard work is the same metadata-pruned, column-pruned
+    decode a single-shard query does; the union is a no-shuffle
+    concatenation; the (term → global df) join is a broadcast of |q| rows;
+    top-k is TakeOrderedAndProject. Shards are never copied or merged to
+    serve a query.
+    """
+    if not indexes:
+        raise ValueError("search_sharded needs at least one index")
+    spark = indexes[0].spark
+    an = indexes[0].analyzer
+    if any(ix.analyzer != an for ix in indexes):
+        raise ValueError(
+            "shards disagree on analyzer: "
+            f"{sorted({ix.analyzer for ix in indexes})}"
+        )
+    if any(ix.field_stats for ix in indexes):
+        raise ValueError(
+            "search_sharded supports unfielded shards; fielded alias "
+            "search needs per-field stat merging (unimplemented)"
+        )
+    terms = sorted(set(analyze_query_py(query, an)))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    is_and = mode.upper() == "AND"
+    n_docs = sum(ix.n_docs for ix in indexes)
+    if n_docs == 0:
+        return empty
+    avgdl = sum(ix.n_docs * ix.avgdl for ix in indexes) / n_docs
+    term_df: dict[str, int] = {}
+    metas = []
+    for ix in indexes:
+        meta = ix._meta(terms)
+        metas.append(meta)
+        for t, g in (() if meta.empty else meta.groupby("term")):
+            term_df[t] = term_df.get(t, 0) + int(g["count"].sum())
+    if not term_df or (is_and and set(term_df) != set(terms)):
+        return empty  # AND needs every term somewhere in the union
+    decoded = None
+    for ix, meta in zip(indexes, metas):
+        if meta.empty:
+            continue
+        shard_terms = sorted(meta["term"].unique())
+        if is_and and set(shard_terms) != set(terms):
+            continue  # this shard cannot host an all-terms doc
+        d = ix._decode(shard_terms, None)
+        tomb = ix._tombstones()
+        if tomb is not None:
+            d = (d.join(F.broadcast(tomb), "doc_id", "left")
+                 .filter(F.col("tgen").isNull()
+                         | (F.col("tgen") <= F.col("gen")))
+                 .drop("tgen"))
+        decoded = d if decoded is None else decoded.unionByName(d)
+    if decoded is None:
+        return empty
+    stats = spark.createDataFrame(
+        [(t, d) for t, d in term_df.items()], "term string, df long")
+    partial = bm25_partial_col(
+        F.col("tf").cast("double"), F.col("doc_len").cast("double"),
+        F.col("df").cast("double"), n_docs, avgdl)
+    scored = (
+        decoded.join(F.broadcast(stats), "term")
+        .select("doc_id", partial.alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("raw"),
+             F.count(F.lit(1)).alias("nterms"))
+    )
+    if is_and:
+        scored = scored.filter(F.col("nterms") == len(terms))
+    return (
+        scored.select("doc_id",
+                      F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

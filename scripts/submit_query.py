@@ -21,6 +21,8 @@ Query shapes (one per invocation):
   --boost-col COL --corpus PATH [--boost-modifier M --boost-mode B
                               --boost-factor F]   ES function_score /
                               field_value_factor
+  --index A,B,...             sharded/alias search: query N shard
+                              indexes with globally merged stats
 """
 
 from __future__ import annotations
@@ -93,6 +95,20 @@ def main() -> None:
     from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
 
     spark = SparkSession.builder.getOrCreate()
+    if "," in args.index:
+        # sharded/alias search: --index shardA,shardB,... runs the query
+        # across all shards with globally merged stats (rank-identical to
+        # the union index — operators/wand.search_sharded)
+        from content_rw_elasticsearch_spark.operators.wand import (
+            search_sharded,
+        )
+        shards = [SegmentIndex.load(spark, p)
+                  for p in args.index.split(",") if p]
+        df = search_sharded(shards, args.query, k=args.k, mode=args.mode)
+        for row in df.collect():
+            print(tuple(row))
+        spark.stop()
+        return
     idx = SegmentIndex.load(spark, args.index)
     if args.must is not None or args.should is not None \
             or args.must_not is not None:
