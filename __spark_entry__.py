@@ -351,6 +351,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["segment_and_two"] = _segment_and_two_sharded
 
+    # bm25_and_empty also carries the synonym query (r5): the base leg
+    # keeps the absent-term AND (0 rows — the correct empty), and the
+    # 'syn' leg expands the absent term through a synonym set
+    # (zzzabsent→scan), making the same AND satisfiable under Lucene
+    # SynonymQuery semantics (tf summed, df = max member df) — so this
+    # slot now proves a NONZERO result too, not just plan validity.
+    def _and_empty_and_syn(spark, sf_dir):
+        from pyspark.sql import functions as F
+        spec = REFERENCE_QUERIES["and_empty"]
+        idx = _index_for(spark, sf_dir)
+        a = idx.search(spec["query"], k=spec["k"], mode=spec["mode"]
+                       ).withColumn("variant", F.lit("empty"))
+        seg = _segment_index_for(spark, sf_dir)
+        b = seg.search_synonyms(spec["query"], {"zzzabsent": ["scan"]},
+                                k=spec["k"], mode="AND"
+                                ).withColumn("variant", F.lit("syn"))
+        return a.unionByName(b)
+
+    out["bm25_and_empty"] = _and_empty_and_syn
+
     # wand_single_hot also carries the ES rescore analog (r5): the BM25
     # top-30 window of "join" re-ranked by a match_phrase "hash join"
     # secondary (Lucene PhraseQuery scoring over the positional store),
@@ -687,6 +707,15 @@ def oracle_sql() -> dict[str, str]:
         + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
                                mode=_spec["mode"],
                                filter_where="lang = 'en'") + ")"
+    )
+    _spec = REFERENCE_QUERIES["and_empty"]
+    out["bm25_and_empty"] = (
+        "SELECT *, 'empty' AS variant FROM ("
+        + oracle.bm25_topk_sql(_spec["query"], k=_spec["k"],
+                               mode=_spec["mode"])
+        + ") UNION ALL SELECT *, 'syn' AS variant FROM ("
+        + oracle.synonym_topk_sql(_spec["query"], {"zzzabsent": ["scan"]},
+                                  k=_spec["k"], mode="AND") + ")"
     )
     _spec = REFERENCE_QUERIES["single_hot"]
     out["wand_single_hot"] = (

@@ -1008,6 +1008,95 @@ class SegmentIndex:
             .limit(k)
         )
 
+    def search_synonyms(self, query: str, synonyms: dict[str, list[str]],
+                        k: int = 10, mode: str = "AND",
+                        field: str | None = None) -> DataFrame:
+        """ES synonym filter / Lucene SynonymQuery analog (the reference's
+        index gets synonyms from the ES analysis chain —
+        configs/referenceSchema.json): each analyzed query term expands to
+        its synonym set, and the SET scores as ONE pseudo-term — per doc
+        tf = Σ member tfs, df = max member df (Lucene SynonymWeight's
+        docFreq), one idf per set. AND mode requires every SET matched
+        (by any member), not every member; a set with no member in the
+        corpus makes an AND query empty and is skipped under OR.
+
+        Plan shape: decode of exactly the member terms' postings, a
+        broadcast (term → set) mapping join, a (doc_id, set) partial-
+        aggregable sum (the synonym fold), a broadcast per-set df join,
+        then the same doc-level aggregation every query pays. The extra
+        exchange vs plain search is the (doc_id, set) groupBy — bounded
+        by the decoded posting count, never corpus-sized."""
+        prefix, n_docs, avgdl = self._resolve_field(field)
+        base = analyze_query_py(query, self.analyzer)
+        groups: list[set[str]] = []
+        seen: set[str] = set()
+        for t in base:
+            if t in seen:
+                continue
+            seen.add(t)
+            members = {t}
+            for s in synonyms.get(t, []):
+                members.update(analyze_query_py(s, self.analyzer))
+            groups.append({prefix + m for m in members})
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not groups or n_docs == 0:
+            return empty
+        meta = self._meta(sorted(set().union(*groups)))
+        if meta.empty:
+            return empty
+        df_by_term = {t: int(g["count"].sum())
+                      for t, g in meta.groupby("term")}
+        is_and = mode.upper() == "AND"
+        mapping: list[tuple[str, int]] = []
+        gid_df: dict[int, int] = {}
+        for g in groups:
+            present = sorted(g & set(df_by_term))
+            if not present:
+                if is_and:
+                    return empty  # a whole set absent => no AND match
+                continue
+            gid = len(gid_df)
+            mapping.extend((t, gid) for t in present)
+            gid_df[gid] = max(df_by_term[t] for t in present)
+        if not mapping:
+            return empty
+        decoded = self._decode(sorted({t for t, _ in mapping}), None)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull()
+                        | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        mdf = self.spark.createDataFrame(mapping, "term string, gid int")
+        gstats = self.spark.createDataFrame(
+            [(g, d) for g, d in gid_df.items()], "gid int, df long")
+        grouped = (
+            decoded.join(F.broadcast(mdf), "term")
+            .groupBy("doc_id", "gid")
+            .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
+        )
+        partial = bm25_partial_col(
+            F.col("tf").cast("double"), F.col("doc_len").cast("double"),
+            F.col("df").cast("double"), n_docs, avgdl)
+        scored = (
+            grouped.join(F.broadcast(gstats), "gid")
+            .select("doc_id", partial.alias("partial"))
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("raw"),
+                 F.count(F.lit(1)).alias("ngroups"))
+        )
+        if is_and:
+            scored = scored.filter(F.col("ngroups") == len(gid_df))
+        return (
+            scored.select("doc_id",
+                          F.round(F.col("raw"), ROUND_DECIMALS)
+                          .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_multi(self, query: str, weights: dict[str, float],
                      k: int = 10, mode: str = "AND") -> DataFrame:
         """Weighted multi-field BM25 top-k over the persisted fielded

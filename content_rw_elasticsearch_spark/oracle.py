@@ -1043,6 +1043,67 @@ LIMIT {k}
 """
 
 
+def synonym_topk_sql(query: str, synonyms: dict[str, list[str]],
+                     k: int = 10, mode: str = "AND") -> str:
+    """DuckDB replay of SegmentIndex.search_synonyms: each query term's
+    synonym set scores as ONE pseudo-term (tf summed per doc, df = max
+    member df, one idf per set — Lucene SynonymQuery). AND requires
+    every set matched by any member; a fully-absent set empties an AND
+    query via the HAVING count."""
+    base = analyze_query_py(query, "simple")
+    groups: list[set[str]] = []
+    seen: set[str] = set()
+    for t in base:
+        if t in seen:
+            continue
+        seen.add(t)
+        members = {t}
+        for s in synonyms.get(t, []):
+            members.update(analyze_query_py(s, "simple"))
+        groups.append(members)
+    if not groups:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    vals = ", ".join(
+        f"('{m.replace(chr(39), chr(39) * 2)}', {gid})"
+        for gid, g in enumerate(groups) for m in sorted(g)
+    )
+    having = f"HAVING count(*) = {len(groups)}" if mode.upper() == "AND" \
+        else ""
+    return f"""
+WITH {TOKENS_CTE},
+map AS (SELECT * FROM (VALUES {vals}) AS m(term, gid)),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN (SELECT term FROM map) GROUP BY term
+),
+gstats AS (
+  SELECT m.gid, max(s.df) AS df
+  FROM map m JOIN stats s USING (term) GROUP BY m.gid
+),
+gpost AS (
+  SELECT p.doc_id, m.gid, sum(p.tf) AS tf
+  FROM post p JOIN map m USING (term) GROUP BY p.doc_id, m.gid
+),
+scored AS (
+  SELECT g.doc_id,
+         sum( ln(1 + (c.n - gs.df + 0.5)/(gs.df + 0.5))
+              * g.tf*({BM25_K1}+1)
+              / (g.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)) ) AS raw
+  FROM gpost g
+  JOIN gstats gs USING (gid)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY g.doc_id
+  {having}
+)
+SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def highlight_sql(query: str, k: int = 10, mode: str = "AND",
                   window: int = 8) -> str:
     """DuckDB replay of SegmentIndex.highlight / operators/highlight.py:

@@ -87,6 +87,11 @@ def main() -> None:
                     choices=["multiply", "sum"])
     ap.add_argument("--boost-factor", dest="boost_factor", type=float,
                     default=1.0)
+    ap.add_argument("--synonyms", default=None,
+                    metavar="T:A|B;U:C",
+                    help="synonym sets, e.g. 'fast:quick|rapid;db:database'"
+                         " — each query term expands per Lucene"
+                         " SynonymQuery (tf summed, df = max member df)")
     args = ap.parse_args()
 
     from content_rw_elasticsearch_spark.operators.boolquery import (
@@ -132,6 +137,15 @@ def main() -> None:
         docs = spark.read.parquet(args.corpus)
         df = idx.more_like_this(args.mlt, docs, text_col=args.text_col,
                                 k=args.k, prune=not args.no_prune)
+    elif args.synonyms is not None:
+        syn = {}
+        for part in args.synonyms.split(";"):
+            if not part:
+                continue
+            term, _, alts = part.partition(":")
+            syn[term.strip()] = [a for a in alts.split("|") if a]
+        df = idx.search_synonyms(args.query, syn, k=args.k, mode=args.mode,
+                                 field=args.field)
     elif args.rescore is not None:
         df = idx.rescore(args.query, args.rescore, k=args.k,
                          window_size=args.rescore_window,
