@@ -1104,6 +1104,41 @@ LIMIT {k}
 """
 
 
+def percolate_sql(queries: list[tuple[int, str, str]]) -> str:
+    """DuckDB replay of operators/percolate.percolate: (doc_id, query_id)
+    pairs where the doc's term SET satisfies the stored query — AND =
+    containment of the query's distinct terms, OR = non-empty
+    intersection. ``queries`` rows: (query_id, query_text, mode)."""
+    rows = []
+    for qid, q, mode in queries:
+        for t in sorted(set(analyze_query_py(q, "simple"))):
+            rows.append(
+                f"({int(qid)}, '{t.replace(chr(39), chr(39) * 2)}', "
+                f"'{mode.upper()}')"
+            )
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS query_id WHERE FALSE")
+    return f"""
+WITH {TOKENS_CTE},
+q AS (SELECT * FROM (VALUES {", ".join(rows)}) AS q(query_id, term, mode)),
+qsize AS (SELECT query_id, mode, count(*) AS n_terms FROM q
+          GROUP BY query_id, mode),
+dterm AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs
+),
+hit AS (
+  SELECT d.doc_id, q.query_id, count(*) AS n_hit
+  FROM dterm d JOIN q USING (term)
+  GROUP BY d.doc_id, q.query_id
+)
+SELECT h.doc_id, h.query_id::BIGINT AS query_id
+FROM hit h JOIN qsize s USING (query_id)
+WHERE s.mode = 'OR' OR h.n_hit = s.n_terms
+ORDER BY h.doc_id, h.query_id
+"""
+
+
 def highlight_sql(query: str, k: int = 10, mode: str = "AND",
                   window: int = 8) -> str:
     """DuckDB replay of SegmentIndex.highlight / operators/highlight.py:

@@ -34,7 +34,9 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", default=None,
+                    help="segment index path (or A,B,... for sharded "
+                         "search); required except for --percolate")
     ap.add_argument("--query", default="")
     ap.add_argument("--mode", default="AND", choices=["AND", "OR"])
     ap.add_argument("--k", type=int, default=10)
@@ -87,6 +89,10 @@ def main() -> None:
                     choices=["multiply", "sum"])
     ap.add_argument("--boost-factor", dest="boost_factor", type=float,
                     default=1.0)
+    ap.add_argument("--percolate", default=None, metavar="QUERIES_PARQUET",
+                    help="reverse search: match --corpus docs against a "
+                         "stored-query table (query_id, query[, mode]); "
+                         "no index needed")
     ap.add_argument("--synonyms", default=None,
                     metavar="T:A|B;U:C",
                     help="synonym sets, e.g. 'fast:quick|rapid;db:database'"
@@ -100,6 +106,20 @@ def main() -> None:
     from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
 
     spark = SparkSession.builder.getOrCreate()
+    if args.percolate is not None:
+        if not args.corpus:
+            raise SystemExit("--percolate requires --corpus <parquet path>")
+        from content_rw_elasticsearch_spark.operators.percolate import (
+            percolate,
+        )
+        docs = spark.read.parquet(args.corpus)
+        qs = spark.read.parquet(args.percolate)
+        for row in percolate(docs, qs, text_col=args.text_col).collect():
+            print(tuple(row))
+        spark.stop()
+        return
+    if not args.index:
+        raise SystemExit("--index is required (except for --percolate)")
     if "," in args.index:
         # sharded/alias search: --index shardA,shardB,... runs the query
         # across all shards with globally merged stats (rank-identical to
