@@ -1008,6 +1008,67 @@ class SegmentIndex:
             .limit(k)
         )
 
+    def search_histogram(self, query: str, docs: DataFrame, field: str,
+                         interval: float, mode: str = "AND",
+                         doc_col: str = "doc_id") -> DataFrame:
+        """ES histogram aggregation over the ENTIRE match set (like
+        search_facets: aggs see all hits, not the top k): buckets of
+        ``field`` at fixed ``interval``, key = floor(value/interval) ·
+        interval (the ES bucket key), empty buckets omitted (ES
+        min_doc_count=1 form). One semi-join-shaped match set + one
+        groupBy; the metadata scan is column-pruned to (doc_id, field).
+        Output (bucket double, n long) ordered by bucket."""
+        iv = float(interval)
+        if iv <= 0:
+            raise ValueError("interval must be positive")
+        ids = self.match_ids(query, mode)
+        joined = docs.select(F.col(doc_col).alias("doc_id"),
+                             F.col(field).cast("double").alias("v")
+                             ).join(ids, "doc_id")
+        return (
+            joined.select(
+                (F.floor(F.col("v") / F.lit(iv)) * F.lit(iv)).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket")
+        )
+
+    def search_stats(self, query: str, docs: DataFrame, field: str,
+                     mode: str = "AND", doc_col: str = "doc_id") -> DataFrame:
+        """ES stats aggregation over the entire match set: one row of
+        (count, min, max, sum, avg) for ``field`` — a single partial-
+        aggregable pass, no shuffle wider than one row per partition.
+        sum/avg rounded to ROUND_DECIMALS for oracle-stable compares."""
+        ids = self.match_ids(query, mode)
+        joined = docs.select(F.col(doc_col).alias("doc_id"),
+                             F.col(field).cast("double").alias("v")
+                             ).join(ids, "doc_id")
+        return joined.agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            F.round(F.sum("v"), ROUND_DECIMALS).alias("sum"),
+            F.round(F.avg("v"), ROUND_DECIMALS).alias("avg"),
+        )
+
+    def search_cardinality(self, query: str, docs: DataFrame, field: str,
+                           mode: str = "AND", doc_col: str = "doc_id",
+                           exact: bool = False,
+                           rsd: float = 0.05) -> DataFrame:
+        """ES cardinality aggregation: distinct count of ``field`` over
+        the match set. Default is the HLL++ sketch
+        (approx_count_distinct, max relative error ``rsd``) — the SAME
+        algorithm ES's cardinality agg uses, mergeable across partitions
+        with fixed sketch memory (the reason exact distinct is the wrong
+        default at 100 TB). ``exact=True`` switches to a true distinct
+        (one extra shuffle) for small sets / oracle gates.
+        Output: one row (value long)."""
+        ids = self.match_ids(query, mode)
+        joined = docs.select(F.col(doc_col).alias("doc_id"), field
+                             ).join(ids, "doc_id")
+        agg = (F.count_distinct(F.col(field)) if exact
+               else F.approx_count_distinct(F.col(field), rsd))
+        return joined.agg(agg.cast("long").alias("value"))
+
     def search_synonyms(self, query: str, synonyms: dict[str, list[str]],
                         k: int = 10, mode: str = "AND",
                         field: str | None = None) -> DataFrame:

@@ -269,6 +269,60 @@ ORDER BY facet ASC, n DESC, value ASC
 """
 
 
+def _match_ids_cte(query: str, mode: str) -> str:
+    """Shared match-set CTE body (AND = all terms, OR = any) for the
+    aggregation oracles — mirrors SegmentIndex.match_ids."""
+    terms = sorted(set(analyze_query_py(query, "simple")))
+    lst = _sql_str_list(terms)
+    need = len(terms) if mode.upper() == "AND" else 1
+    return (f"SELECT doc_id FROM post WHERE term IN (SELECT unnest({lst})) "
+            f"GROUP BY doc_id HAVING count(*) >= {need}")
+
+
+def search_histogram_sql(query: str, field: str, interval: float,
+                         mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.search_histogram: fixed-interval buckets
+    of ``field`` over the entire match set, key = floor(v/iv)*iv."""
+    iv = float(interval)
+    return f"""
+WITH {TOKENS_CTE},
+ids AS ({_match_ids_cte(query, mode)})
+SELECT floor(d.{field}::DOUBLE / {iv!r}) * {iv!r} AS bucket,
+       count(*)::BIGINT AS n
+FROM ids JOIN documents d USING (doc_id)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def search_stats_sql(query: str, field: str, mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.search_stats: one (count,min,max,sum,avg)
+    row over the match set, sum/avg rounded like the engine."""
+    return f"""
+WITH {TOKENS_CTE},
+ids AS ({_match_ids_cte(query, mode)})
+SELECT count(*)::BIGINT AS count,
+       min(d.{field}::DOUBLE) AS min,
+       max(d.{field}::DOUBLE) AS max,
+       round(sum(d.{field}::DOUBLE), {ROUND_DECIMALS}) AS sum,
+       round(avg(d.{field}::DOUBLE), {ROUND_DECIMALS}) AS avg
+FROM ids JOIN documents d USING (doc_id)
+"""
+
+
+def search_cardinality_sql(query: str, field: str,
+                           mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.search_cardinality(exact=True): true
+    distinct count of ``field`` over the match set (the engine's default
+    HLL++ sketch is tested against this within its rsd bound)."""
+    return f"""
+WITH {TOKENS_CTE},
+ids AS ({_match_ids_cte(query, mode)})
+SELECT count(DISTINCT d.{field})::BIGINT AS value
+FROM ids JOIN documents d USING (doc_id)
+"""
+
+
 def term_stats_sql(min_df: int = 1) -> str:
     return f"""
 WITH {TOKENS_CTE}

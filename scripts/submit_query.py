@@ -89,6 +89,10 @@ def main() -> None:
                     choices=["multiply", "sum"])
     ap.add_argument("--boost-factor", dest="boost_factor", type=float,
                     default=1.0)
+    ap.add_argument("--agg", default=None, metavar="TYPE:FIELD[:PARAM]",
+                    help="match-set aggregation over --corpus: "
+                         "hist:FIELD:INTERVAL, stats:FIELD, "
+                         "card:FIELD[:exact]")
     ap.add_argument("--percolate", default=None, metavar="QUERIES_PARQUET",
                     help="reverse search: match --corpus docs against a "
                          "stored-query table (query_id, query[, mode]); "
@@ -157,6 +161,23 @@ def main() -> None:
         docs = spark.read.parquet(args.corpus)
         df = idx.more_like_this(args.mlt, docs, text_col=args.text_col,
                                 k=args.k, prune=not args.no_prune)
+    elif args.agg is not None:
+        if not args.corpus:
+            raise SystemExit("--agg requires --corpus <parquet path>")
+        docs = spark.read.parquet(args.corpus)
+        parts = args.agg.split(":")
+        kind, fld = parts[0], parts[1]
+        if kind == "hist":
+            df = idx.search_histogram(args.query, docs, fld,
+                                      float(parts[2]), mode=args.mode)
+        elif kind == "stats":
+            df = idx.search_stats(args.query, docs, fld, mode=args.mode)
+        elif kind == "card":
+            df = idx.search_cardinality(
+                args.query, docs, fld, mode=args.mode,
+                exact=len(parts) > 2 and parts[2] == "exact")
+        else:
+            raise SystemExit(f"unknown agg type {kind!r}")
     elif args.synonyms is not None:
         syn = {}
         for part in args.synonyms.split(";"):

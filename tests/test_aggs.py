@@ -1,0 +1,84 @@
+"""Match-set aggregations beyond terms facets (SegmentIndex
+search_histogram / search_stats / search_cardinality — the ES
+histogram, stats, and cardinality aggs): each runs over the ENTIRE
+match set and is pinned against its DuckDB oracle builder on the
+driver's sf0.001 documents. The HLL++ cardinality default is tested
+against the exact oracle within its advertised relative error.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from content_rw_elasticsearch_spark.operators.segments import build_segments
+from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+from content_rw_elasticsearch_spark.oracle import (
+    search_cardinality_sql,
+    search_histogram_sql,
+    search_stats_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def seg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aggsidx") / "idx")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    build_segments(docs, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=64, nb_max=8)
+    return SegmentIndex.load(spark, out)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _con():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF}/documents.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("query,mode", [("join", "AND"),
+                                        ("hash join", "AND"),
+                                        ("merge sort window", "OR")])
+def test_histogram_matches_oracle(seg, docs, query, mode):
+    got = [(r["bucket"], r["n"]) for r in
+           seg.search_histogram(query, docs, "n_chars", 50.0,
+                                mode=mode).collect()]
+    con = _con()
+    exp = con.sql(
+        search_histogram_sql(query, "n_chars", 50.0, mode=mode)).fetchall()
+    assert got == [(b, n) for b, n in exp] and got
+
+
+def test_stats_matches_oracle(seg, docs):
+    got = seg.search_stats("join", docs, "n_chars").collect()[0]
+    con = _con()
+    exp = con.sql(search_stats_sql("join", "n_chars")).fetchall()[0]
+    assert (got["count"], got["min"], got["max"], got["sum"], got["avg"]) \
+        == tuple(exp)
+    assert got["count"] > 0
+
+
+def test_cardinality_exact_and_hll(seg, docs):
+    exact = seg.search_cardinality("join", docs, "lang",
+                                   exact=True).collect()[0]["value"]
+    con = _con()
+    oracle = con.sql(
+        search_cardinality_sql("join", "lang")).fetchall()[0][0]
+    assert exact == oracle and exact > 0
+    # the HLL++ default must land within its advertised relative error
+    # (generously 3x rsd — tiny-cardinality sketches are near-exact)
+    approx = seg.search_cardinality("join", docs, "lang",
+                                    rsd=0.05).collect()[0]["value"]
+    assert abs(approx - exact) <= max(1, 3 * 0.05 * exact)
+
+
+def test_histogram_validation(seg, docs):
+    with pytest.raises(ValueError, match="interval"):
+        seg.search_histogram("join", docs, "n_chars", 0.0)
