@@ -57,7 +57,7 @@ from pyspark.sql.types import (
 
 from .. import BM25_B, BM25_K1
 from .. import storage
-from ..functions.analyzer import analyze_query_py
+from ..functions.analyzer import analyze_query_py, analyzer_column
 from ..functions.hashing import pmod, xxh64_string
 from ..storage import join as pjoin
 from . import codec
@@ -1068,6 +1068,61 @@ class SegmentIndex:
         agg = (F.count_distinct(F.col(field)) if exact
                else F.approx_count_distinct(F.col(field), rsd))
         return joined.agg(agg.cast("long").alias("value"))
+
+    def significant_terms(self, query: str, docs: DataFrame, k: int = 10,
+                          mode: str = "AND", text_col: str = "text",
+                          doc_col: str = "doc_id",
+                          min_doc_count: int = 1) -> DataFrame:
+        """ES significant_terms aggregation (JLH heuristic): terms
+        over-represented in the MATCH SET (foreground) relative to the
+        whole index (background) —
+
+            JLH = (fg% − bg%) · (fg% / bg%)
+
+        with fg% = fg/|matches|, bg% = df/n_docs. The query's own terms
+        are excluded (ES does the same — they are trivially significant).
+
+        Sides are sourced the scale-right way round: background df comes
+        from the AT-REST per-term stats table (O(vocabulary) metadata, no
+        corpus scan — reflects the base build, like ES's shard-level
+        background), while the foreground re-analyzes ONLY the matched
+        documents with the index's own vectorized analyzer (distinct
+        terms per doc — document frequency, not term frequency). The one
+        scalar driver value is |matches| (a count aggregate). Output
+        (term, fg, bg, score), top-k by score desc / term asc."""
+        ids = self.match_ids(query, mode)
+        n_fg = ids.count()
+        empty = self.spark.createDataFrame(
+            [], "term string, fg long, bg long, score double")
+        if n_fg == 0:
+            return empty
+        fg = (
+            docs.select(
+                F.col(doc_col).alias("doc_id"),
+                F.explode(F.array_distinct(
+                    analyzer_column(F.col(text_col), self.analyzer)
+                )).alias("term"),
+            )
+            .join(ids, "doc_id")
+            .groupBy("term").agg(F.count(F.lit(1)).alias("fg"))
+        )
+        bg = (
+            self.spark.read.parquet(pjoin(self.path, self.stats_file))
+            .groupBy("term").agg(F.sum("df").alias("bg"))
+        )
+        qterms = sorted(set(analyze_query_py(query, self.analyzer)))
+        fgp = F.col("fg").cast("double") / F.lit(float(n_fg))
+        bgp = F.col("bg").cast("double") / F.lit(float(self.n_docs))
+        score = (fgp - bgp) * (fgp / bgp)
+        return (
+            fg.join(bg, "term")
+            .filter(~F.col("term").isin(qterms)
+                    & (F.col("fg") >= int(min_doc_count)))
+            .select("term", "fg", "bg",
+                    F.round(score, ROUND_DECIMALS).alias("score"))
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+        )
 
     def search_synonyms(self, query: str, synonyms: dict[str, list[str]],
                         k: int = 10, mode: str = "AND",

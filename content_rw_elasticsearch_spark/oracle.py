@@ -323,6 +323,34 @@ FROM ids JOIN documents d USING (doc_id)
 """
 
 
+def significant_terms_sql(query: str, k: int = 10, mode: str = "AND",
+                          min_doc_count: int = 1) -> str:
+    """Oracle for SegmentIndex.significant_terms: JLH-scored terms of
+    the match set vs the corpus background, query terms excluded."""
+    qterms = sorted(set(analyze_query_py(query, "simple")))
+    lst = _sql_str_list(qterms)
+    return f"""
+WITH {TOKENS_CTE},
+ids AS ({_match_ids_cte(query, mode)}),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM ids),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg FROM post
+  WHERE doc_id IN (SELECT doc_id FROM ids) GROUP BY term
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg FROM post GROUP BY term)
+SELECT f.term, f.fg, b.bg,
+       round( (f.fg / nfg.n - b.bg / c.n)
+              * (f.fg / nfg.n) / (b.bg / c.n), {ROUND_DECIMALS}) AS score
+FROM fg f
+JOIN bg b USING (term)
+CROSS JOIN nfg
+CROSS JOIN corpus c
+WHERE f.term NOT IN (SELECT unnest({lst})) AND f.fg >= {int(min_doc_count)}
+ORDER BY score DESC, f.term ASC
+LIMIT {k}
+"""
+
+
 def term_stats_sql(min_df: int = 1) -> str:
     return f"""
 WITH {TOKENS_CTE}

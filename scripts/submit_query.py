@@ -92,7 +92,8 @@ def main() -> None:
     ap.add_argument("--agg", default=None, metavar="TYPE:FIELD[:PARAM]",
                     help="match-set aggregation over --corpus: "
                          "hist:FIELD:INTERVAL, stats:FIELD, "
-                         "card:FIELD[:exact]")
+                         "card:FIELD[:exact], sig (significant terms "
+                         "of --query's match set, uses --text-col)")
     ap.add_argument("--percolate", default=None, metavar="QUERIES_PARQUET",
                     help="reverse search: match --corpus docs against a "
                          "stored-query table (query_id, query[, mode]); "
@@ -166,8 +167,13 @@ def main() -> None:
             raise SystemExit("--agg requires --corpus <parquet path>")
         docs = spark.read.parquet(args.corpus)
         parts = args.agg.split(":")
-        kind, fld = parts[0], parts[1]
-        if kind == "hist":
+        kind = parts[0]
+        fld = parts[1] if len(parts) > 1 else None
+        if kind == "sig":
+            df = idx.significant_terms(args.query, docs, k=args.k,
+                                       mode=args.mode,
+                                       text_col=args.text_col)
+        elif kind == "hist":
             df = idx.search_histogram(args.query, docs, fld,
                                       float(parts[2]), mode=args.mode)
         elif kind == "stats":

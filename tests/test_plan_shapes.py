@@ -146,6 +146,9 @@ def test_filter_context_pushes_predicate(spark, seg):
     reaches the documents parquet scan as a pushed filter, and that scan
     is column-pruned to the predicate + id columns — the corpus text is
     never read to build a filter set (COVERAGE §2.K filter-context row)."""
+    # another test may have cached this scan (InMemoryTableScan hides
+    # PushedFilters/ReadSchema); pin the UNCACHED plan
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     ids = docs.filter(docs.lang == "en").select("doc_id")
     plan = _executed(seg.search("hash join", k=5, mode="AND",
@@ -182,6 +185,7 @@ def test_function_score_boost_scan_is_pruned(spark, seg):
     only — never the text — and the top-k is TakeOrderedAndProject
     (per-partition heaps), not a global sort (COVERAGE §2.K
     function_score row)."""
+    spark.catalog.clearCache()  # see test_filter_context_pushes_predicate
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _executed(seg.function_score("hash join", docs, "n_chars",
                                         k=5, mode="AND"))
