@@ -524,6 +524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("phrase", F.lit(p)).withColumn("slop", F.lit(s))
             for p, s in legs
         ]
+        # r5: match_phrase_prefix leg — exact 'customer' + prefix 'da'
+        # expanded lexicographically (MultiPhraseQuery), marked slop=-1
+        seg = _segment_index_for(spark, sf_dir, with_positions=True)
+        parts.append(
+            seg.phrase_prefix_search("customer da", max_expansions=50)
+            .withColumn("phrase", F.lit("customer da*"))
+            .withColumn("slop", F.lit(-1)))
         cur = parts[0]
         for p in parts[1:]:
             cur = cur.unionByName(p)
@@ -820,6 +827,9 @@ def oracle_sql() -> dict[str, str]:
         + oracle.phrase_match_sql(p, slop=s) + ")"
         for p, s in [("hash join", 0), ("customer data group", 0),
                      ("customer group", 1), ("hash join", 2)]
+    ) + (
+        " UNION ALL SELECT *, 'customer da*' AS phrase, -1 AS slop FROM ("
+        + oracle.phrase_prefix_sql("customer da", max_expansions=50) + ")"
     )
     out["index_term_postings"] = (
         "SELECT 'term' AS variant, 'dup' AS term, doc_id, tf FROM ("

@@ -710,6 +710,115 @@ class SegmentIndex:
             .orderBy("doc_id")
         )
 
+    def phrase_prefix_search(self, phrase: str, field: str | None = None,
+                             max_expansions: int = 50) -> DataFrame:
+        """ES ``match_phrase_prefix`` (the autocomplete query): exact
+        phrase over every term but the LAST, which is a prefix expanded
+        to the first ``max_expansions`` term-dictionary entries in
+        lexicographic order (Lucene's expansion order and default cap),
+        then matched as a MultiPhraseQuery — a position tuple counts if
+        the last slot holds ANY expansion. → (doc_id, phrase_tf).
+
+        Cost shape: the expansion is a METADATA-ONLY term-dictionary
+        scan (the term-sorted segment layout row-group-prunes the range,
+        like prefix_postings) with a bounded collect of <= max_expansions
+        terms; the positional decode then reads only the exact terms +
+        expansions, restricted to salt classes where every exact term AND
+        at least one expansion is present — the same feasibility lattice
+        phrase_search uses, with an OR corner for the expansion slot."""
+        if not self.positions:
+            raise ValueError(
+                "phrase_prefix_search requires a positional index — "
+                "rebuild with build_segments(..., with_positions=True)"
+            )
+        prefix, _, _ = self._resolve_field(field)
+        toks = analyze_query_py(phrase, self.analyzer)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, phrase_tf long")
+        if not toks:
+            return empty
+        exact = [prefix + t for t in toks[:-1]]
+        last = prefix + toks[-1]
+        expansions = [
+            r["term"] for r in
+            self._all_segments().filter(F.col("term").startswith(last))
+            .select("term").distinct()
+            .orderBy("term").limit(int(max_expansions)).collect()
+        ]
+        if not expansions:
+            return empty
+        all_terms = sorted(set(exact) | set(expansions))
+        meta = self._meta(all_terms)
+        if meta.empty or not set(exact) <= set(meta["term"].unique()):
+            return empty
+        nb_all = self.nb_max
+        g = np.arange(nb_all)
+        present = np.ones(nb_all, dtype=bool)
+        exp_present = np.zeros(nb_all, dtype=bool)
+        exact_set = set(exact)
+        for t, tgrp in meta.groupby("term"):
+            ct_full = np.zeros(nb_all)
+            for (gen, nb_t), grp in tgrp.groupby(["gen", "nb"]):
+                nb_t = int(nb_t)
+                ct = np.zeros(nb_t)
+                ct[grp["salt"].to_numpy()] = grp["count"].to_numpy()
+                ct_full += ct[g % nb_t]
+            if t in exact_set:
+                present &= ct_full > 0
+            else:
+                exp_present |= ct_full > 0
+        present &= exp_present
+        classes = [int(x) for x in np.flatnonzero(present)]
+        if not classes:
+            return empty
+        keys = self._keys_for_classes(meta, classes)
+        segs = self._filter_keys(self._segments(all_terms), keys)
+        par = self.spark.sparkContext.defaultParallelism
+        decoded = segs.select("term", "gen", "docs_vb", "tfs_vb",
+                              "pos_vb") \
+            .coalesce(max(1, par)) \
+            .mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
+        tomb = self._tombstones()
+        if tomb is not None:
+            decoded = (
+                decoded.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("tgen").isNull()
+                        | (F.col("tgen") <= F.col("gen")))
+                .drop("tgen")
+            )
+        n = len(toks)
+        if n == 1:
+            # bare prefix phrase: every occurrence of any expansion counts
+            return (
+                decoded.filter(F.col("term").isin(expansions))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("phrase_tf"))
+                .orderBy("doc_id")
+            )
+        cur = decoded.filter(F.col("term") == exact[0]).select(
+            "doc_id", F.col("pos").alias("p0"))
+        for i, t in enumerate(exact[1:], start=1):
+            nxt = decoded.filter(F.col("term") == t).select(
+                F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}"))
+            cur = cur.join(
+                nxt,
+                (F.col("doc_id") == F.col(f"d{i}"))
+                & (F.col(f"p{i}") == F.col("p0") + i),
+            ).drop(f"d{i}")
+        i = n - 1
+        lastdf = decoded.filter(F.col("term").isin(expansions)).select(
+            F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}"))
+        cur = cur.join(
+            lastdf,
+            (F.col("doc_id") == F.col(f"d{i}"))
+            & (F.col(f"p{i}") == F.col("p0") + i),
+        ).drop(f"d{i}")
+        return (
+            cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("phrase_tf"))
+            .orderBy("doc_id")
+        )
+
     def highlight(self, query: str, docs: DataFrame,
                   text_col: str = "content", doc_col: str = "doc_id",
                   k: int = 10, mode: str = "AND",

@@ -1221,6 +1221,61 @@ ORDER BY h.doc_id, h.query_id
 """
 
 
+def phrase_prefix_sql(phrase: str, max_expansions: int = 50) -> str:
+    """Oracle for SegmentIndex.phrase_prefix_search: exact chain over all
+    but the last term; the last slot matches any of the first
+    ``max_expansions`` lexicographic dictionary terms with the prefix."""
+    toks = analyze_query_py(phrase, "simple")
+    if not toks:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS phrase_tf WHERE FALSE")
+    exact = toks[:-1]
+    pfx = toks[-1].replace("'", "''")
+    exp_cte = (f"SELECT DISTINCT term FROM post WHERE term LIKE '{pfx}%' "
+               f"ORDER BY term LIMIT {int(max_expansions)}")
+    n = len(toks)
+    if n == 1:
+        return f"""
+WITH {TOKENS_CTE},
+exp AS ({exp_cte}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM docs
+)
+SELECT doc_id, count(*)::BIGINT AS phrase_tf
+FROM pos WHERE term IN (SELECT term FROM exp)
+GROUP BY doc_id ORDER BY doc_id
+"""
+    conds = " AND ".join(
+        f"p{i}.term = '{t.replace(chr(39), chr(39) * 2)}'"
+        for i, t in enumerate(exact)
+    )
+    joins = "".join(
+        f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.pos = p0.pos + {i}"
+        for i in range(1, n - 1)
+    )
+    i = n - 1
+    joins += (f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+              f" AND p{i}.pos = p0.pos + {i}"
+              f" AND p{i}.term IN (SELECT term FROM exp)")
+    return f"""
+WITH {TOKENS_CTE},
+exp AS ({exp_cte}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM docs
+)
+SELECT p0.doc_id, count(*)::BIGINT AS phrase_tf
+FROM pos p0{joins}
+WHERE {conds}
+GROUP BY p0.doc_id
+ORDER BY p0.doc_id
+"""
+
+
 def highlight_sql(query: str, k: int = 10, mode: str = "AND",
                   window: int = 8) -> str:
     """DuckDB replay of SegmentIndex.highlight / operators/highlight.py:

@@ -47,6 +47,12 @@ def main() -> None:
                     help="keyset cursor SCORE:DOC_ID (search_after)")
     ap.add_argument("--phrase", action="store_true")
     ap.add_argument("--slop", type=int, default=0)
+    ap.add_argument("--phrase-prefix", dest="phrase_prefix",
+                    action="store_true",
+                    help="match_phrase_prefix: --query's last term is a "
+                         "prefix (autocomplete)")
+    ap.add_argument("--max-expansions", dest="max_expansions", type=int,
+                    default=50)
     ap.add_argument("--prefix", default=None)
     ap.add_argument("--fuzzy", default=None)
     ap.add_argument("--regexp", default=None)
@@ -208,6 +214,9 @@ def main() -> None:
                                 modifier=args.boost_modifier,
                                 boost_mode=args.boost_mode,
                                 field=args.field)
+    elif args.phrase_prefix:
+        df = idx.phrase_prefix_search(args.query, field=args.field,
+                                      max_expansions=args.max_expansions)
     elif args.phrase:
         df = idx.phrase_search(args.query, field=args.field, slop=args.slop)
     elif args.prefix is not None:
