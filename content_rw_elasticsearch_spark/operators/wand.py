@@ -1199,6 +1199,14 @@ class SegmentIndex:
         terms per doc — document frequency, not term frequency). The one
         scalar driver value is |matches| (a count aggregate). Output
         (term, fg, bg, score), top-k by score desc / term asc."""
+        if self.field_stats:
+            # the at-rest stats table keys composite field\x1fterm rows on
+            # a fielded index — joining them against the unprefixed
+            # foreground would silently yield nothing; refuse loudly
+            raise ValueError(
+                "significant_terms supports unfielded indexes; per-field "
+                "background models are unimplemented"
+            )
         ids = self.match_ids(query, mode)
         n_fg = ids.count()
         empty = self.spark.createDataFrame(

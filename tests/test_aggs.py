@@ -108,3 +108,18 @@ def test_significant_terms_semantics(seg, docs):
     scores = [r["score"] for r in
               seg.significant_terms("join", docs, k=200).collect()]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_significant_terms_refuses_fielded(spark, tmp_path):
+    """Fielded indexes would silently empty the fg⋈bg join (composite
+    stats keys vs unprefixed foreground) — must refuse loudly instead."""
+    from pyspark.sql import functions as F
+    corpus = spark.createDataFrame(
+        [(1, "hash join")], "doc_id long, text string")
+    out = str(tmp_path / "fidx")
+    build_segments(corpus, out, doc_col="doc_id", n_buckets=1,
+                   target_block=8, nb_max=2,
+                   fields={"body": F.col("text")})
+    fidx = SegmentIndex.load(spark, out)
+    with pytest.raises(ValueError, match="unfielded"):
+        fidx.significant_terms("hash", corpus)
