@@ -1131,9 +1131,11 @@ class SegmentIndex:
         if iv <= 0:
             raise ValueError("interval must be positive")
         ids = self.match_ids(query, mode)
+        # docs missing the field are ignored (ES histogram semantics)
         joined = docs.select(F.col(doc_col).alias("doc_id"),
                              F.col(field).cast("double").alias("v")
-                             ).join(ids, "doc_id")
+                             ).filter(F.col("v").isNotNull()
+                                      ).join(ids, "doc_id")
         return (
             joined.select(
                 (F.floor(F.col("v") / F.lit(iv)) * F.lit(iv)).alias("bucket"))
@@ -1148,9 +1150,12 @@ class SegmentIndex:
         aggregable pass, no shuffle wider than one row per partition.
         sum/avg rounded to ROUND_DECIMALS for oracle-stable compares."""
         ids = self.match_ids(query, mode)
+        # docs missing the field are ignored (ES stats counts docs WITH
+        # the field, and min/max/sum/avg would skip them anyway)
         joined = docs.select(F.col(doc_col).alias("doc_id"),
                              F.col(field).cast("double").alias("v")
-                             ).join(ids, "doc_id")
+                             ).filter(F.col("v").isNotNull()
+                                      ).join(ids, "doc_id")
         return joined.agg(
             F.count(F.lit(1)).alias("count"),
             F.min("v").alias("min"),

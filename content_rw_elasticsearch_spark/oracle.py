@@ -290,6 +290,7 @@ ids AS ({_match_ids_cte(query, mode)})
 SELECT floor(d.{field}::DOUBLE / {iv!r}) * {iv!r} AS bucket,
        count(*)::BIGINT AS n
 FROM ids JOIN documents d USING (doc_id)
+WHERE d.{field} IS NOT NULL
 GROUP BY bucket
 ORDER BY bucket
 """
@@ -307,6 +308,7 @@ SELECT count(*)::BIGINT AS count,
        round(sum(d.{field}::DOUBLE), {ROUND_DECIMALS}) AS sum,
        round(avg(d.{field}::DOUBLE), {ROUND_DECIMALS}) AS avg
 FROM ids JOIN documents d USING (doc_id)
+WHERE d.{field} IS NOT NULL
 """
 
 

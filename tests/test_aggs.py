@@ -123,3 +123,21 @@ def test_significant_terms_refuses_fielded(spark, tmp_path):
     fidx = SegmentIndex.load(spark, out)
     with pytest.raises(ValueError, match="unfielded"):
         fidx.significant_terms("hash", corpus)
+
+
+def test_aggs_ignore_null_fields(spark, tmp_path):
+    """ES histogram/stats ignore docs missing the field: a null n_chars
+    doc matching the query must appear in neither bucket nor count."""
+    corpus = spark.createDataFrame(
+        [(1, "hash join", 100), (2, "hash join", None), (3, "hash", 50)],
+        "doc_id long, text string, n_chars long")
+    out = str(tmp_path / "nullidx")
+    build_segments(corpus, out, text_col="text", doc_col="doc_id",
+                   n_buckets=1, target_block=8, nb_max=2)
+    ix = SegmentIndex.load(spark, out)
+    hist = [(r["bucket"], r["n"]) for r in
+            ix.search_histogram("hash join", corpus, "n_chars",
+                                50.0).collect()]
+    assert hist == [(100.0, 1)]
+    st = ix.search_stats("hash join", corpus, "n_chars").collect()[0]
+    assert (st["count"], st["min"], st["max"]) == (1, 100.0, 100.0)
