@@ -179,6 +179,8 @@ def main() -> None:
             df = idx.significant_terms(args.query, docs, k=args.k,
                                        mode=args.mode,
                                        text_col=args.text_col)
+        elif fld is None:
+            raise SystemExit(f"--agg {kind} needs a field: {kind}:FIELD")
         elif kind == "hist":
             df = idx.search_histogram(args.query, docs, fld,
                                       float(parts[2]), mode=args.mode)
