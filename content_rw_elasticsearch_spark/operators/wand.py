@@ -1057,6 +1057,105 @@ class SegmentIndex:
                     ROUND_DECIMALS).alias("score"))
         return rank(combined)
 
+    def _scored_match_set(self, query: str, mode: str = "AND",
+                          field: str | None = None) -> DataFrame:
+        """Full rounded (doc_id, score) BM25 match set — no top-k cut and
+        NO block-max pruning, because every consumer (function_score,
+        boosting, dis_max) applies a per-document transform that voids
+        the per-class score upper bounds. Exhaustive decode, same
+        tombstone/df semantics as search()."""
+        prefix, n_docs, avgdl = self._resolve_field(field)
+        terms = sorted(
+            {prefix + t for t in analyze_query_py(query, self.analyzer)}
+        )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms or n_docs == 0:
+            return empty
+        meta = self._meta(terms)
+        if meta.empty:
+            return empty
+        found = set(meta["term"].unique())
+        is_and = mode.upper() == "AND"
+        if is_and and found != set(terms):
+            return empty
+        terms = sorted(found)
+        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
+        required = len(terms) if is_and else None
+        return self._score(self._decode(terms, None), term_df, required,
+                           None, n_docs=n_docs, avgdl=avgdl)
+
+    def constant_score(self, query: str, boost: float = 1.0, k: int = 10,
+                       mode: str = "AND",
+                       field: str | None = None) -> DataFrame:
+        """ES constant_score query: every matching doc scores exactly
+        ``boost`` — the filter-to-query wrapper (no BM25 computed at
+        all; the plan is match_ids + a literal). Ties break by doc_id
+        like everywhere else, so the top-k is the first k doc_ids."""
+        ids = self.match_ids(query, mode, field=field)
+        return (
+            ids.select("doc_id",
+                       F.round(F.lit(float(boost)), ROUND_DECIMALS)
+                       .alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def boosting(self, positive: str, negative: str,
+                 negative_boost: float = 0.5, k: int = 10,
+                 mode: str = "AND",
+                 field: str | None = None) -> DataFrame:
+        """ES boosting query: rank by the positive query's BM25; any doc
+        ALSO matching the negative query (OR over its terms, like ES's
+        inner query default) keeps its rank signal but demoted —
+        score · negative_boost. Exhaustive over the positive match set
+        (the demotion multiplier voids block-max bounds: a demoted seed
+        doc can fall below an unseen undemoted one); the negative side
+        is a match_ids semi-shape joined as an existence flag."""
+        pos = self._scored_match_set(positive, mode, field)
+        neg = self.match_ids(negative, "OR", field=field) \
+            .withColumn("neg", F.lit(True))
+        nb = float(negative_boost)
+        demoted = pos.join(neg, "doc_id", "left").select(
+            "doc_id",
+            F.round(
+                F.when(F.col("neg"), F.col("score") * F.lit(nb))
+                .otherwise(F.col("score")), ROUND_DECIMALS).alias("score"))
+        return (demoted.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k))
+
+    def dis_max(self, queries: list[str], tie_breaker: float = 0.0,
+                k: int = 10, field: str | None = None) -> DataFrame:
+        """ES dis_max query: per doc, the BEST subquery score plus
+        ``tie_breaker`` times the others —
+
+            max(s_i) + tie_breaker · (Σ s_i − max(s_i))
+
+        Each subquery scores as an OR match (the ES match default). One
+        scored set per subquery, a no-shuffle union, one (doc) agg of
+        max+sum — never a per-doc loop. Exhaustive (the max across
+        subqueries is not boundable by any single subquery's block
+        maxima)."""
+        tb = float(tie_breaker)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        sets = [self._scored_match_set(q, "OR", field) for q in queries]
+        sets = [s for s in sets if s is not None]
+        if not sets:
+            return empty
+        cur = sets[0]
+        for s in sets[1:]:
+            cur = cur.unionByName(s)
+        combined = (
+            cur.groupBy("doc_id")
+            .agg(F.max("score").alias("best"), F.sum("score").alias("tot"))
+            .select(
+                "doc_id",
+                F.round(F.col("best")
+                        + F.lit(tb) * (F.col("tot") - F.col("best")),
+                        ROUND_DECIMALS).alias("score"))
+        )
+        return (combined.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k))
+
     def function_score(self, query: str, docs: DataFrame, factor_col: str,
                        k: int = 10, mode: str = "AND", factor: float = 1.0,
                        modifier: str = "log1p",
@@ -1082,25 +1181,7 @@ class SegmentIndex:
             raise ValueError(f"unknown modifier {modifier!r}")
         if boost_mode not in ("multiply", "sum"):
             raise ValueError(f"unknown boost_mode {boost_mode!r}")
-        prefix, n_docs, avgdl = self._resolve_field(field)
-        terms = sorted(
-            {prefix + t for t in analyze_query_py(query, self.analyzer)}
-        )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
-        if not terms or n_docs == 0:
-            return empty
-        meta = self._meta(terms)
-        if meta.empty:
-            return empty
-        found = set(meta["term"].unique())
-        is_and = mode.upper() == "AND"
-        if is_and and found != set(terms):
-            return empty
-        terms = sorted(found)
-        term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
-        required = len(terms) if is_and else None
-        scored = self._score(self._decode(terms, None), term_df, required,
-                             None, n_docs=n_docs, avgdl=avgdl)
+        scored = self._scored_match_set(query, mode, field)
         fac = F.col(factor_col).cast("double") * F.lit(float(factor))
         boost = {"log1p": F.log1p(fac), "sqrt": F.sqrt(fac),
                  "none": fac}[modifier]

@@ -325,6 +325,81 @@ FROM ids JOIN documents d USING (doc_id)
 """
 
 
+def _scored_set_sql(query: str, mode: str) -> str:
+    """Full rounded (doc_id, score) BM25 match set as a derived-table
+    body — the SQL twin of SegmentIndex._scored_match_set."""
+    terms = sorted(set(analyze_query_py(query, "simple")))
+    having = f"HAVING count(*) = {len(terms)}" if mode.upper() == "AND" \
+        else ""
+    lst = _sql_str_list(terms)
+    return f"""
+  SELECT p.doc_id,
+         round(sum( ln(1 + (c.n - s.df + 0.5)/(s.df + 0.5))
+              * p.tf*({BM25_K1}+1)
+              / (p.tf + {BM25_K1}*(1-{BM25_B}+{BM25_B}*d.doc_len/c.avgdl)) ),
+              {ROUND_DECIMALS}) AS score
+  FROM post p
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM post
+        WHERE term IN (SELECT unnest({lst})) GROUP BY term) s USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+  {having}"""
+
+
+def constant_score_sql(query: str, boost: float = 1.0, k: int = 10,
+                       mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.constant_score: every match scores
+    exactly the boost; top-k = first k doc_ids."""
+    return f"""
+WITH {TOKENS_CTE},
+ids AS ({_match_ids_cte(query, mode)})
+SELECT doc_id, round({float(boost)!r}, {ROUND_DECIMALS}) AS score
+FROM ids ORDER BY doc_id LIMIT {k}
+"""
+
+
+def boosting_sql(positive: str, negative: str,
+                 negative_boost: float = 0.5, k: int = 10,
+                 mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.boosting: positive BM25, demoted by
+    negative_boost where the doc also matches the negative query (OR)."""
+    nb = float(negative_boost)
+    return f"""
+WITH {TOKENS_CTE},
+pos AS ({_scored_set_sql(positive, mode)}),
+neg AS ({_match_ids_cte(negative, "OR")})
+SELECT p.doc_id,
+       round(CASE WHEN p.doc_id IN (SELECT doc_id FROM neg)
+                  THEN p.score * {nb!r} ELSE p.score END,
+             {ROUND_DECIMALS}) AS score
+FROM pos p
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def dis_max_sql(queries: list[str], tie_breaker: float = 0.0,
+                k: int = 10) -> str:
+    """Oracle for SegmentIndex.dis_max: best subquery score +
+    tie_breaker * (sum - best), each subquery an OR match."""
+    tb = float(tie_breaker)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM ({_scored_set_sql(q, 'OR')}\n)" for q in queries
+    )
+    return f"""
+WITH {TOKENS_CTE},
+subs AS ({unions})
+SELECT doc_id,
+       round(max(score) + {tb!r} * (sum(score) - max(score)),
+             {ROUND_DECIMALS}) AS score
+FROM subs
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def significant_terms_sql(query: str, k: int = 10, mode: str = "AND",
                           min_doc_count: int = 1) -> str:
     """Oracle for SegmentIndex.significant_terms: JLH-scored terms of

@@ -104,6 +104,19 @@ def main() -> None:
                     help="reverse search: match --corpus docs against a "
                          "stored-query table (query_id, query[, mode]); "
                          "no index needed")
+    ap.add_argument("--constant-score", dest="constant_score", type=float,
+                    default=None, metavar="BOOST",
+                    help="constant_score: every --query match scores BOOST")
+    ap.add_argument("--boost-negative", dest="boost_negative", default=None,
+                    metavar="QUERY",
+                    help="boosting query: demote docs matching QUERY")
+    ap.add_argument("--negative-boost", dest="negative_boost", type=float,
+                    default=0.5)
+    ap.add_argument("--dis-max", dest="dis_max", default=None,
+                    metavar="Q1;Q2;...",
+                    help="dis_max over ;-separated subqueries")
+    ap.add_argument("--tie-breaker", dest="tie_breaker", type=float,
+                    default=0.0)
     ap.add_argument("--synonyms", default=None,
                     metavar="T:A|B;U:C",
                     help="synonym sets, e.g. 'fast:quick|rapid;db:database'"
@@ -192,6 +205,17 @@ def main() -> None:
                 exact=len(parts) > 2 and parts[2] == "exact")
         else:
             raise SystemExit(f"unknown agg type {kind!r}")
+    elif args.constant_score is not None:
+        df = idx.constant_score(args.query, boost=args.constant_score,
+                                k=args.k, mode=args.mode, field=args.field)
+    elif args.boost_negative is not None:
+        df = idx.boosting(args.query, args.boost_negative,
+                          negative_boost=args.negative_boost, k=args.k,
+                          mode=args.mode, field=args.field)
+    elif args.dis_max is not None:
+        df = idx.dis_max([q for q in args.dis_max.split(";") if q],
+                         tie_breaker=args.tie_breaker, k=args.k,
+                         field=args.field)
     elif args.synonyms is not None:
         syn = {}
         for part in args.synonyms.split(";"):

@@ -1,0 +1,95 @@
+"""ES compound-query family completion (constant_score, boosting,
+dis_max — bool and function_score already exist): each pinned against
+its DuckDB oracle on a hand corpus plus semantic cases (demotion flips
+rank order, tie_breaker=1 degenerates to sum-of-scores, constant_score
+never computes BM25).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from content_rw_elasticsearch_spark.operators.segments import build_segments
+from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+from content_rw_elasticsearch_spark.oracle import (
+    boosting_sql,
+    constant_score_sql,
+    dis_max_sql,
+)
+
+DOCS = [
+    (1, "hash join build probe"),
+    (2, "hash join deprecated legacy"),
+    (3, "merge join sort runs"),
+    (4, "hash table probe scan join"),
+    (5, "unrelated lorem ipsum"),
+    (6, "hash join build probe extra"),
+]
+
+
+def _con():
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    return con
+
+
+@pytest.fixture(scope="module")
+def seg(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("compidx") / "idx")
+    build_segments(corpus, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=8, nb_max=4)
+    ix = SegmentIndex.load(spark, out)
+    ix.prune_min_postings = 0
+    return ix
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_constant_score_matches_oracle(seg):
+    got = _rows(seg.constant_score("hash join", boost=2.5, k=3))
+    con = _con()
+    exp = con.sql(constant_score_sql("hash join", boost=2.5, k=3)).fetchall()
+    assert got == [(d, s) for d, s in exp] and got
+    assert all(s == 2.5 for _, s in got)
+
+
+def test_boosting_matches_oracle_and_demotes(seg):
+    got = _rows(seg.boosting("hash join", "deprecated legacy",
+                             negative_boost=0.1, k=10))
+    con = _con()
+    exp = con.sql(boosting_sql("hash join", "deprecated legacy",
+                               negative_boost=0.1, k=10)).fetchall()
+    assert got == [(d, s) for d, s in exp] and got
+    # doc 2 matches the negative query — it must rank LAST among matches
+    ranks = {d: i for i, (d, _) in enumerate(got)}
+    assert ranks[2] == max(ranks.values())
+    # negative_boost=1.0 degenerates to the plain positive ranking
+    flat = _rows(seg.boosting("hash join", "deprecated", 1.0, k=10))
+    base = _rows(seg.search("hash join", k=10, mode="AND", prune=False))
+    assert flat == base
+
+
+@pytest.mark.parametrize("tb", [0.0, 0.3, 1.0])
+def test_dis_max_matches_oracle(seg, tb):
+    qs = ["hash probe", "merge sort"]
+    got = _rows(seg.dis_max(qs, tie_breaker=tb, k=10))
+    con = _con()
+    exp = con.sql(dis_max_sql(qs, tie_breaker=tb, k=10)).fetchall()
+    assert got == [(d, s) for d, s in exp] and got
+
+
+def test_dis_max_semantics(seg):
+    """tie_breaker=0: docs matching both subqueries score only the best;
+    raising it strictly increases their combined score while
+    single-subquery docs stay put."""
+    lo = dict(_rows(seg.dis_max(["hash probe", "table scan"], 0.0, k=10)))
+    hi = dict(_rows(seg.dis_max(["hash probe", "table scan"], 0.5, k=10)))
+    # doc 4 matches both subqueries
+    assert hi[4] > lo[4]
+    # doc 1 matches only the first — identical either way
+    assert hi[1] == lo[1]
