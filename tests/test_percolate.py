@@ -93,3 +93,35 @@ def test_percolate_queries_side_is_broadcast(spark, qdf):
     plan = percolate(docs, qdf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_stream_percolate_microbatches(spark, tmp_path, qdf):
+    """Streaming alerting: two micro-batches percolated via foreachBatch
+    must equal one batch percolation of all docs (percolate is per-doc),
+    and a per-batch output dir exists for each batch (the
+    overwrite-by-batch_id idempotency contract)."""
+    from content_rw_elasticsearch_spark.streaming.alerts import (
+        read_alerts,
+        stream_percolate,
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(DOCS[:2], "doc_id long, text string") \
+        .write.parquet(src + "/b1")
+    spark.createDataFrame(DOCS[2:], "doc_id long, text string") \
+        .write.parquet(src + "/b2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    out = str(tmp_path / "alerts")
+    q = stream_percolate(spark, stream, qdf, out,
+                         str(tmp_path / "ckpt"), text_col="text")
+    q.awaitTermination(120)
+    got = [(r["doc_id"], r["query_id"]) for r in
+           read_alerts(spark, out).collect()]
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    exp = [(r["doc_id"], r["query_id"]) for r in
+           percolate(docs, qdf).collect()]
+    assert sorted(got) == sorted(exp) and got
+    import glob
+    assert len(glob.glob(out + "/batch_*")) >= 2
