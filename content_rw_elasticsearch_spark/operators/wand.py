@@ -1818,7 +1818,8 @@ class SegmentIndex:
 
 
 def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
-                   mode: str = "AND") -> DataFrame:
+                   mode: str = "AND",
+                   min_should_match: int | None = None) -> DataFrame:
     """ES alias / distributed-search analog: one BM25 top-k over N shard
     indexes that returns EXACTLY what a single index built over the union
     corpus would return. That is the property ES's coordinating node gets
@@ -1878,6 +1879,13 @@ def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
             term_df[t] = term_df.get(t, 0) + int(g["count"].sum())
     if not term_df or (is_and and set(term_df) != set(terms)):
         return empty  # AND needs every term somewhere in the union
+    msm = None
+    if not is_and and min_should_match is not None:
+        msm = int(min_should_match)
+        if msm <= 1:
+            msm = None  # plain OR
+        elif msm > len(term_df):
+            return empty  # fewer matchable terms than required
     decoded = None
     for ix, meta in zip(indexes, metas):
         if meta.empty:
@@ -1885,6 +1893,8 @@ def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
         shard_terms = sorted(meta["term"].unique())
         if is_and and set(shard_terms) != set(terms):
             continue  # this shard cannot host an all-terms doc
+        if msm is not None and len(shard_terms) < msm:
+            continue  # a doc's terms live in ITS shard: < msm present
         d = ix._decode(shard_terms, None)
         tomb = ix._tombstones()
         if tomb is not None:
@@ -1909,6 +1919,8 @@ def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
     )
     if is_and:
         scored = scored.filter(F.col("nterms") == len(terms))
+    elif msm is not None:
+        scored = scored.filter(F.col("nterms") >= msm)
     return (
         scored.select("doc_id",
                       F.round(F.col("raw"), ROUND_DECIMALS).alias("score"))

@@ -153,7 +153,8 @@ def main() -> None:
         )
         shards = [SegmentIndex.load(spark, p)
                   for p in args.index.split(",") if p]
-        df = search_sharded(shards, args.query, k=args.k, mode=args.mode)
+        df = search_sharded(shards, args.query, k=args.k, mode=args.mode,
+                            min_should_match=args.msm)
         for row in df.collect():
             print(tuple(row))
         spark.stop()

@@ -133,3 +133,15 @@ def test_sharded_single_shard_degenerate(single, shards):
     got = _rows(search_sharded([single], "hash join", k=10, mode="AND"))
     exp = _rows(single.search("hash join", k=10, mode="AND"))
     assert got == exp
+
+
+@pytest.mark.parametrize("msm", [1, 2, 3])
+def test_sharded_min_should_match(single, shards, msm):
+    """msm parity across shards: a doc's terms all live in its own shard,
+    so sharded msm must equal the single union index's msm exactly
+    (including the shard-skip for shards with < msm present terms)."""
+    q = "hash merge extra"
+    got = _rows(search_sharded(shards, q, k=10, mode="OR",
+                               min_should_match=msm))
+    exp = _rows(single.search(q, k=10, mode="OR", min_should_match=msm))
+    assert got == exp and got
