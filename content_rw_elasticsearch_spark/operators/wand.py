@@ -1084,6 +1084,60 @@ class SegmentIndex:
         return self._score(self._decode(terms, None), term_df, required,
                            None, n_docs=n_docs, avgdl=avgdl)
 
+    def has_child(self, child_query: str, relations: DataFrame,
+                  k: int = 10, score_mode: str = "max",
+                  mode: str = "AND", child_col: str = "doc_id",
+                  parent_col: str = "parent_id") -> DataFrame:
+        """ES ``has_child`` joining query: return PARENT ids whose
+        children match ``child_query``, scored by folding the children's
+        BM25 — score_mode in {max, sum, avg, none} (ES's score modes;
+        'none' scores every parent 0.0 like ES's default). ``relations``
+        maps child doc_id → parent_id (the join-field table; ES stores
+        the same mapping in its join field).
+
+        Plan: the child match set (exhaustive — the fold over children
+        voids per-class bounds) joins the relation column-pruned to
+        (child, parent), then ONE partial-aggregable parent fold. The
+        relation join shuffles on doc_id, bounded by matching children —
+        never all children. Output (parent_id, score)."""
+        if score_mode not in ("max", "sum", "avg", "none"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        scored = self._scored_match_set(child_query, mode)
+        rel = relations.select(F.col(child_col).alias("doc_id"),
+                               F.col(parent_col).alias("parent_id"))
+        joined = scored.join(rel, "doc_id")
+        agg = {"max": F.max("score"), "sum": F.sum("score"),
+               "avg": F.avg("score"),
+               "none": F.lit(0.0)}[score_mode]
+        return (
+            joined.groupBy("parent_id")
+            .agg(F.round(agg, ROUND_DECIMALS).alias("score"))
+            .orderBy(F.desc("score"), F.asc("parent_id"))
+            .limit(k)
+        )
+
+    def has_parent(self, parent_query: str, relations: DataFrame,
+                   k: int = 10, score: bool = False,
+                   mode: str = "AND", child_col: str = "doc_id",
+                   parent_col: str = "parent_id") -> DataFrame:
+        """ES ``has_parent`` joining query: return CHILD ids whose parent
+        matches ``parent_query``. ``score=False`` (the ES default) gives
+        every child 0.0; ``score=True`` propagates the parent's BM25 to
+        each of its children. One broadcast-friendly join of the parent
+        match/score set into the relation. Output (doc_id, score)."""
+        scored = self._scored_match_set(parent_query, mode)
+        if not score:
+            scored = scored.select("doc_id", F.lit(0.0).alias("score"))
+        rel = relations.select(F.col(child_col).alias("child_id"),
+                               F.col(parent_col).alias("doc_id"))
+        return (
+            rel.join(scored, "doc_id")
+            .select(F.col("child_id").alias("doc_id"),
+                    F.round(F.col("score"), ROUND_DECIMALS).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def constant_score(self, query: str, boost: float = 1.0, k: int = 10,
                        mode: str = "AND",
                        field: str | None = None) -> DataFrame:

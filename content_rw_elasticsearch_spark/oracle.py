@@ -400,6 +400,46 @@ LIMIT {k}
 """
 
 
+def has_child_sql(child_query: str, relations: list[tuple[int, int]],
+                  k: int = 10, score_mode: str = "max",
+                  mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.has_child: parent ids whose children match,
+    scored by folding the children's BM25. ``relations`` rows:
+    (child_doc_id, parent_id) literals."""
+    vals = ", ".join(f"({int(c)}, {int(p)})" for c, p in relations)
+    agg = {"max": "max(s.score)", "sum": "sum(s.score)",
+           "avg": "avg(s.score)", "none": "0.0"}[score_mode]
+    return f"""
+WITH {TOKENS_CTE},
+scored AS ({_scored_set_sql(child_query, mode)}),
+rel AS (SELECT * FROM (VALUES {vals}) AS r(doc_id, parent_id))
+SELECT r.parent_id::BIGINT AS parent_id,
+       round({agg}, {ROUND_DECIMALS}) AS score
+FROM scored s JOIN rel r USING (doc_id)
+GROUP BY r.parent_id
+ORDER BY score DESC, parent_id ASC
+LIMIT {k}
+"""
+
+
+def has_parent_sql(parent_query: str, relations: list[tuple[int, int]],
+                   k: int = 10, score: bool = False,
+                   mode: str = "AND") -> str:
+    """Oracle for SegmentIndex.has_parent: child ids whose parent
+    matches; score propagates the parent's BM25 when requested."""
+    vals = ", ".join(f"({int(c)}, {int(p)})" for c, p in relations)
+    sc = "round(s.score, %d)" % ROUND_DECIMALS if score else "0.0"
+    return f"""
+WITH {TOKENS_CTE},
+scored AS ({_scored_set_sql(parent_query, mode)}),
+rel AS (SELECT * FROM (VALUES {vals}) AS r(child_id, doc_id))
+SELECT r.child_id::BIGINT AS doc_id, {sc} AS score
+FROM scored s JOIN rel r USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def significant_terms_sql(query: str, k: int = 10, mode: str = "AND",
                           min_doc_count: int = 1) -> str:
     """Oracle for SegmentIndex.significant_terms: JLH-scored terms of

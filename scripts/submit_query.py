@@ -104,6 +104,15 @@ def main() -> None:
                     help="reverse search: match --corpus docs against a "
                          "stored-query table (query_id, query[, mode]); "
                          "no index needed")
+    ap.add_argument("--join-type", dest="join_type", default=None,
+                    choices=["has_child", "has_parent"],
+                    help="joining query over --relations: has_child "
+                         "returns parents of children matching --query; "
+                         "has_parent returns children of matching parents")
+    ap.add_argument("--relations", default=None,
+                    help="parquet of (doc_id, parent_id) for --join-type")
+    ap.add_argument("--score-mode", dest="score_mode", default="max",
+                    choices=["max", "sum", "avg", "none"])
     ap.add_argument("--constant-score", dest="constant_score", type=float,
                     default=None, metavar="BOOST",
                     help="constant_score: every --query match scores BOOST")
@@ -206,6 +215,17 @@ def main() -> None:
                 exact=len(parts) > 2 and parts[2] == "exact")
         else:
             raise SystemExit(f"unknown agg type {kind!r}")
+    elif args.join_type is not None:
+        if not args.relations:
+            raise SystemExit("--join-type requires --relations <parquet>")
+        rel = spark.read.parquet(args.relations)
+        if args.join_type == "has_child":
+            df = idx.has_child(args.query, rel, k=args.k,
+                               score_mode=args.score_mode, mode=args.mode)
+        else:
+            df = idx.has_parent(args.query, rel, k=args.k,
+                                score=args.score_mode != "none",
+                                mode=args.mode)
     elif args.constant_score is not None:
         df = idx.constant_score(args.query, boost=args.constant_score,
                                 k=args.k, mode=args.mode, field=args.field)

@@ -93,3 +93,59 @@ def test_dis_max_semantics(seg):
     assert hi[4] > lo[4]
     # doc 1 matches only the first — identical either way
     assert hi[1] == lo[1]
+
+
+# ---- joining queries (has_child / has_parent) ---------------------------
+
+RELATIONS = [(1, 100), (2, 100), (3, 200), (4, 200), (6, 300)]
+# children 1,2 → parent 100; 3,4 → 200; 6 → 300; doc 5 is an orphan
+
+
+@pytest.fixture(scope="module")
+def rel(spark):
+    return spark.createDataFrame(RELATIONS, "doc_id long, parent_id long")
+
+
+@pytest.mark.parametrize("score_mode", ["max", "sum", "avg", "none"])
+def test_has_child_matches_oracle(seg, rel, score_mode):
+    from content_rw_elasticsearch_spark.oracle import has_child_sql
+    got = [(r["parent_id"], r["score"]) for r in
+           seg.has_child("hash join", rel, k=10,
+                         score_mode=score_mode).collect()]
+    con = _con()
+    exp = con.sql(has_child_sql("hash join", RELATIONS, k=10,
+                                score_mode=score_mode)).fetchall()
+    assert got == [(p, s) for p, s in exp] and got
+
+
+def test_has_child_semantics(seg, rel):
+    """Parent 100 has TWO matching children (1, 2); sum > max for it,
+    while single-child parents are unchanged between the modes."""
+    mx = dict((r["parent_id"], r["score"]) for r in
+              seg.has_child("hash join", rel, score_mode="max").collect())
+    sm = dict((r["parent_id"], r["score"]) for r in
+              seg.has_child("hash join", rel, score_mode="sum").collect())
+    assert sm[100] > mx[100]
+    assert sm[300] == mx[300]
+    # orphan doc 5 never produces a parent; parent 200's child 3 lacks
+    # 'hash' in AND mode but child 4 matches
+    assert set(mx) == {100, 200, 300}
+    with pytest.raises(ValueError, match="score_mode"):
+        seg.has_child("x", rel, score_mode="bogus")
+
+
+@pytest.mark.parametrize("score", [False, True])
+def test_has_parent_matches_oracle(seg, spark, score):
+    from content_rw_elasticsearch_spark.oracle import has_parent_sql
+    # parents are docs 1/3 (by id); children carry parent_id pointing
+    # at them — reuse DOCS ids as a two-level family
+    fam = [(2, 1), (4, 1), (6, 3)]
+    rel2 = spark.createDataFrame(fam, "doc_id long, parent_id long")
+    got = [(r["doc_id"], r["score"]) for r in
+           seg.has_parent("hash join", rel2, k=10, score=score).collect()]
+    con = _con()
+    exp = con.sql(has_parent_sql("hash join", fam, k=10,
+                                 score=score)).fetchall()
+    assert got == [(d, s) for d, s in exp] and got
+    # parent 3 ('merge join sort runs') fails AND 'hash join' → child 6 out
+    assert {d for d, _ in got} == {2, 4}
