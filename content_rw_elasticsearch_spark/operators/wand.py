@@ -1084,6 +1084,58 @@ class SegmentIndex:
         return self._score(self._decode(terms, None), term_df, required,
                            None, n_docs=n_docs, avgdl=avgdl)
 
+    def describe(self) -> DataFrame:
+        """ES ``_cat/indices`` / ``_stats`` analog: one row of index
+        health, METADATA-ONLY (the docs table, the segment columns
+        minus the vb binaries, and the loaded manifest — no posting
+        bytes decoded): live/deleted doc counts, avgdl, delta
+        generations, term/block/posting counts, layout knobs. The
+        operational check a 10^12-file deployment runs before and after
+        every ingest window."""
+        docs = self.spark.read.parquet(pjoin(self.path, "docs"))
+        if "deleted" in docs.columns:
+            docs = docs.filter(~F.col("deleted"))
+        seg_stats = (
+            self._all_segments()
+            .agg(F.countDistinct("term").alias("n_terms"),
+                 F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("count").alias("n_postings"))
+        )
+        doc_stats = docs.agg(F.count(F.lit(1)).alias("docs_live"))
+        # the docs table holds only LIVE rows (apply_upserts anti-joins
+        # replaced/deleted ids out); true deletions = tombstoned ids with
+        # no live row — tombstones that merely superseded an upsert have
+        # a live replacement
+        tomb = self._tombstones()
+        if tomb is None:
+            del_stats = self.spark.range(1).select(
+                F.lit(0).cast("long").alias("docs_deleted"))
+        else:
+            del_stats = (
+                tomb.join(docs.select("doc_id").distinct(),
+                          "doc_id", "left_anti")
+                .agg(F.count(F.lit(1)).alias("docs_deleted"))
+            )
+        return (
+            doc_stats.crossJoin(seg_stats).crossJoin(del_stats)
+            .select(
+                F.lit(self.n_docs).cast("long").alias("n_docs"),
+                F.col("docs_live").cast("long"),
+                F.col("docs_deleted").cast("long"),
+                F.round(F.lit(self.avgdl), 4).alias("avgdl"),
+                F.lit(len(self.generations)).cast("int")
+                .alias("delta_generations"),
+                F.col("n_terms").cast("long"),
+                F.col("n_blocks").cast("long"),
+                F.col("n_postings").cast("long"),
+                F.lit(self.n_buckets).cast("int").alias("n_buckets"),
+                F.lit(self.nb_max).cast("int").alias("nb_max"),
+                F.lit(bool(self.positions)).alias("positions"),
+                F.lit(sorted(self.field_stats) if self.field_stats else []
+                      ).alias("fields"),
+            )
+        )
+
     def has_child(self, child_query: str, relations: DataFrame,
                   k: int = 10, score_mode: str = "max",
                   mode: str = "AND", child_col: str = "doc_id",

@@ -104,6 +104,10 @@ def main() -> None:
                     help="reverse search: match --corpus docs against a "
                          "stored-query table (query_id, query[, mode]); "
                          "no index needed")
+    ap.add_argument("--describe", action="store_true",
+                    help="print the index health row (_cat/indices "
+                         "analog): doc/term/block/posting counts, "
+                         "generations, layout")
     ap.add_argument("--join-type", dest="join_type", default=None,
                     choices=["has_child", "has_parent"],
                     help="joining query over --relations: has_child "
@@ -169,7 +173,9 @@ def main() -> None:
         spark.stop()
         return
     idx = SegmentIndex.load(spark, args.index)
-    if args.must is not None or args.should is not None \
+    if args.describe:
+        df = idx.describe()
+    elif args.must is not None or args.should is not None \
             or args.must_not is not None:
         df = segment_bool_topk(
             idx, must=args.must or "", should=args.should or "",

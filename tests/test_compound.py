@@ -149,3 +149,38 @@ def test_has_parent_matches_oracle(seg, spark, score):
     assert got == [(d, s) for d, s in exp] and got
     # parent 3 ('merge join sort runs') fails AND 'hash join' → child 6 out
     assert {d for d, _ in got} == {2, 4}
+
+
+def test_describe_reports_index_health(spark, seg, tmp_path):
+    """describe(): metadata-only stats row — doc counts match ground
+    truth, postings equal total tokens, no binary column in any scan's
+    ReadSchema, and a delete shows up in docs_deleted."""
+    row = seg.describe().collect()[0]
+    n_tokens = sum(len(t.split()) for _, t in [(d, x) for d, x in
+                   [(r[0], r[1]) for r in DOCS]])
+    assert row["n_docs"] == len(DOCS) == row["docs_live"]
+    assert row["docs_deleted"] == 0
+    assert row["n_postings"] > 0 and row["n_terms"] > 0
+    assert row["delta_generations"] == 0 and row["fields"] == []
+    # token conservation: postings count == distinct (doc, term) pairs
+    import re
+    pairs = {(d, w) for d, t in DOCS
+             for w in re.split(r"[^a-z0-9]+", t.lower()) if w}
+    assert row["n_postings"] == len(pairs)
+    assert n_tokens >= len(pairs)
+    plan = seg.describe()._jdf.queryExecution().executedPlan().toString()
+    for col in ("docs_vb", "tfs_vb", "dlens_vb", "pos_vb"):
+        read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert all(col not in ln for ln in read_lines), plan
+    # a delete is visible in the health row
+    from content_rw_elasticsearch_spark.streaming.ingest import apply_upserts
+    import shutil
+    out2 = str(tmp_path / "didx")
+    shutil.copytree(seg.path, out2)
+    dead = spark.createDataFrame(
+        [(1, None, True)], "doc_id long, text string, deleted boolean")
+    apply_upserts(spark, out2, dead, text_col="text", deleted_col="deleted")
+    ix2 = SegmentIndex.load(spark, out2)
+    r2 = ix2.describe().collect()[0]
+    assert r2["docs_deleted"] == 1 and r2["docs_live"] == len(DOCS) - 1
+    assert r2["delta_generations"] == 1
