@@ -74,6 +74,18 @@ def main() -> None:
             "join", ndocs, "n_chars", 50.0),
         "cardinality_hll": lambda: seg.search_cardinality(
             "join", docs, "lang"),
+        "boosting": lambda: seg.boosting("hash join", "vector batch",
+                                         negative_boost=0.2, k=10),
+        "dis_max": lambda: seg.dis_max(["hash join", "merge sort"],
+                                       tie_breaker=0.3, k=10),
+        "constant_score": lambda: seg.constant_score("hash join", 1.5,
+                                                     k=10),
+        "has_child": lambda: seg.has_child(
+            "hash join",
+            docs.select("doc_id",
+                        (F.col("doc_id") % 1000).alias("parent_id")),
+            k=10, score_mode="max"),
+        "describe": lambda: seg.describe(),
     }
     for name, fn in feats.items():
         sec, rows = _timed(fn)
