@@ -190,3 +190,16 @@ def test_analyzer_parity_of_test_corpus():
     (guards the test itself against analyzer drift)."""
     for _, text, _ in DOCS:
         assert [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+
+
+def test_filter_composes_with_pagination(seg, corpus):
+    """filter_ids + search_after: two filtered cursor pages must equal
+    the filtered one-shot top-4 (the same page-fidelity contract the
+    unfiltered cursor is gated on)."""
+    ids = corpus.filter(corpus.lang != "rs").select("doc_id")
+    one_shot = _rows(seg.search("join", k=4, mode="AND", filter_ids=ids))
+    p1 = _rows(seg.search("join", k=2, mode="AND", filter_ids=ids))
+    last = p1[-1]
+    p2 = _rows(seg.search("join", k=2, mode="AND", filter_ids=ids,
+                          after=(last[1], last[0])))
+    assert p1 + p2 == one_shot and len(one_shot) == 4

