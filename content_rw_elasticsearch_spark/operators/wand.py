@@ -986,7 +986,8 @@ class SegmentIndex:
 
     def rescore(self, query: str, phrase: str, k: int = 10,
                 window_size: int = 50, query_weight: float = 1.0,
-                rescore_weight: float = 1.0, mode: str = "AND") -> DataFrame:
+                rescore_weight: float = 1.0, mode: str = "AND",
+                slop: int = 0) -> DataFrame:
         """ES ``rescore`` analog (the reference's query surface lives in
         Elasticsearch — configs/referenceSchema.json — which rescores a
         top window with a secondary query, typically ``match_phrase``):
@@ -999,8 +1000,10 @@ class SegmentIndex:
             query_weight * bm25 + rescore_weight * phrase_score
 
         Docs outside the window never enter (ES semantics); window docs
-        without the phrase keep phrase_score = 0. Requires a positional
-        index (phrase_search).
+        without the phrase keep phrase_score = 0. ``slop`` > 0 rescores
+        with the ordered proximity form instead of exact adjacency (tf =
+        proximity-tuple count, phrase_search's slop semantics). Requires
+        a positional index (phrase_search).
 
         Scale shape: the window is <= window_size rows, so everything
         derived from it is broadcast-sized. The phrase match is the
@@ -1031,7 +1034,7 @@ class SegmentIndex:
         term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
         idf_sum = sum(self._idf(term_df[t], n_docs) for t in pterms)
         win_ids = F.broadcast(win.select("doc_id"))
-        ph = (self.phrase_search(phrase)
+        ph = (self.phrase_search(phrase, slop=slop)
               .join(win_ids, "doc_id", "left_semi"))
         # doc_len: decode ONE phrase term's postings (every phrase doc
         # contains every phrase term), window-restricted, tombstone-aware
@@ -1925,7 +1928,8 @@ class SegmentIndex:
 
 def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
                    mode: str = "AND",
-                   min_should_match: int | None = None) -> DataFrame:
+                   min_should_match: int | None = None,
+                   filter_ids: DataFrame | None = None) -> DataFrame:
     """ES alias / distributed-search analog: one BM25 top-k over N shard
     indexes that returns EXACTLY what a single index built over the union
     corpus would return. That is the property ES's coordinating node gets
@@ -2011,6 +2015,12 @@ def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
         decoded = d if decoded is None else decoded.unionByName(d)
     if decoded is None:
         return empty
+    if filter_ids is not None:
+        # ES bool.filter across the alias: one semi-join on the UNIONED
+        # decode (same pre-aggregation placement as the single-index
+        # path; scores untouched)
+        decoded = decoded.join(filter_ids.select("doc_id"),
+                               "doc_id", "left_semi")
     stats = spark.createDataFrame(
         [(t, d) for t, d in term_df.items()], "term string, df long")
     partial = bm25_partial_col(

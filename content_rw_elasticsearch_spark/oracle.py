@@ -1111,7 +1111,8 @@ ORDER BY p0.doc_id
 
 def rescore_sql(query: str, phrase: str, k: int = 10,
                 window_size: int = 50, query_weight: float = 1.0,
-                rescore_weight: float = 1.0, mode: str = "AND") -> str:
+                rescore_weight: float = 1.0, mode: str = "AND",
+                slop: int = 0) -> str:
     """DuckDB replay of SegmentIndex.rescore: BM25 top ``window_size``
     window re-ranked by query_weight*bm25 + rescore_weight*phrase_score,
     phrase_score = Lucene PhraseQuery (idf summed over the phrase's term
@@ -1134,11 +1135,19 @@ def rescore_sql(query: str, phrase: str, k: int = 10,
         f"p{i}.term = '{t.replace(chr(39), chr(39) * 2)}'"
         for i, t in enumerate(pterms)
     )
-    joins = "".join(
-        f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
-        f" AND p{i}.pos = p0.pos + {i}"
-        for i in range(1, len(pterms))
-    )
+    if slop <= 0:
+        joins = "".join(
+            f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.pos = p0.pos + {i}"
+            for i in range(1, len(pterms))
+        )
+    else:
+        joins = "".join(
+            f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.pos > p{i - 1}.pos"
+            f" AND p{i}.pos <= p0.pos + {i} + {int(slop)}"
+            for i in range(1, len(pterms))
+        )
     return f"""
 WITH {TOKENS_CTE},
 qt AS (SELECT unnest({_sql_str_list(qterms)}) AS term),

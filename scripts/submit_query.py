@@ -166,8 +166,15 @@ def main() -> None:
         )
         shards = [SegmentIndex.load(spark, p)
                   for p in args.index.split(",") if p]
+        fids = None
+        if args.filter_where:
+            if not args.corpus:
+                raise SystemExit(
+                    "--filter-where requires --corpus <parquet path>")
+            fids = (spark.read.parquet(args.corpus)
+                    .filter(args.filter_where).select("doc_id"))
         df = search_sharded(shards, args.query, k=args.k, mode=args.mode,
-                            min_should_match=args.msm)
+                            min_should_match=args.msm, filter_ids=fids)
         for row in df.collect():
             print(tuple(row))
         spark.stop()
@@ -257,7 +264,7 @@ def main() -> None:
                          window_size=args.rescore_window,
                          query_weight=args.query_weight,
                          rescore_weight=args.rescore_weight,
-                         mode=args.mode)
+                         mode=args.mode, slop=args.slop)
     elif args.boost_col is not None:
         if not args.corpus:
             raise SystemExit("--boost-col requires --corpus <parquet path>")

@@ -203,3 +203,21 @@ def test_filter_composes_with_pagination(seg, corpus):
     p2 = _rows(seg.search("join", k=2, mode="AND", filter_ids=ids,
                           after=(last[1], last[0])))
     assert p1 + p2 == one_shot and len(one_shot) == 4
+
+
+def test_rescore_with_slop(seg):
+    """slop>0 rescoring uses the proximity form: doc 4 has 'hash
+    [table] probe' (one interleaved token) — exact rescore gives it no
+    boost, slop=1 does; both legs match the oracle."""
+    exact = _rows(seg.rescore("hash join", "hash probe", k=6,
+                              window_size=6, rescore_weight=5.0))
+    sloppy = _rows(seg.rescore("hash join", "hash probe", k=6,
+                               window_size=6, rescore_weight=5.0, slop=1))
+    con = _con()
+    assert exact == [(d, s) for d, s in con.sql(
+        rescore_sql("hash join", "hash probe", k=6, window_size=6,
+                    rescore_weight=5.0)).fetchall()]
+    assert sloppy == [(d, s) for d, s in con.sql(
+        rescore_sql("hash join", "hash probe", k=6, window_size=6,
+                    rescore_weight=5.0, slop=1)).fetchall()]
+    assert dict(sloppy)[4] > dict(exact)[4]  # slop boost fired for doc 4

@@ -172,3 +172,16 @@ def test_sharded_random_split_property(spark, tmp_path):
         got = _rows(search_sharded(shards, q, k=15, mode=mode))
         exp = _rows(single.search(q, k=15, mode=mode))
         assert got == exp, (q, mode)
+
+
+def test_sharded_filter_context(spark, single, shards):
+    """filter_ids across the alias ≡ the single index's filter context
+    (scores untouched, only even doc_ids kept)."""
+    ids = spark.createDataFrame(
+        [(d,) for d, _ in DOCS if d % 2 == 0], "doc_id long")
+    got = _rows(search_sharded(shards, "hash join", k=10, mode="OR",
+                               filter_ids=ids))
+    exp = _rows(single.search("hash join", k=10, mode="OR",
+                              filter_ids=ids))
+    assert got == exp and got
+    assert all(d % 2 == 0 for d, _ in got)
