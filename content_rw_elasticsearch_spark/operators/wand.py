@@ -1087,6 +1087,17 @@ class SegmentIndex:
         return self._score(self._decode(terms, None), term_df, required,
                            None, n_docs=n_docs, avgdl=avgdl)
 
+    def count(self, query: str, mode: str = "AND",
+              field: str | None = None,
+              min_should_match: int | None = None) -> DataFrame:
+        """ES ``_count`` API: the match-set size without ranking — one
+        row (count). Rides match_ids (exhaustive by definition: counting
+        needs every match, top-k pruning is inapplicable); the plan is
+        the match semi-shape plus a single scalar aggregate."""
+        ids = self.match_ids(query, mode, field=field,
+                             min_should_match=min_should_match)
+        return ids.agg(F.count(F.lit(1)).cast("long").alias("count"))
+
     def describe(self) -> DataFrame:
         """ES ``_cat/indices`` / ``_stats`` analog: one row of index
         health, METADATA-ONLY (the docs table, the segment columns

@@ -104,6 +104,8 @@ def main() -> None:
                     help="reverse search: match --corpus docs against a "
                          "stored-query table (query_id, query[, mode]); "
                          "no index needed")
+    ap.add_argument("--count", action="store_true",
+                    help="_count API: the match-set size of --query")
     ap.add_argument("--describe", action="store_true",
                     help="print the index health row (_cat/indices "
                          "analog): doc/term/block/posting counts, "
@@ -180,7 +182,10 @@ def main() -> None:
         spark.stop()
         return
     idx = SegmentIndex.load(spark, args.index)
-    if args.describe:
+    if args.count:
+        df = idx.count(args.query, mode=args.mode, field=args.field,
+                       min_should_match=args.msm)
+    elif args.describe:
         df = idx.describe()
     elif args.must is not None or args.should is not None \
             or args.must_not is not None:

@@ -184,3 +184,25 @@ def test_describe_reports_index_health(spark, seg, tmp_path):
     r2 = ix2.describe().collect()[0]
     assert r2["docs_deleted"] == 1 and r2["docs_live"] == len(DOCS) - 1
     assert r2["delta_generations"] == 1
+
+
+def test_count_matches_match_set(seg):
+    """_count == the match-set size, for AND/OR/msm shapes, and equals
+    the DuckDB oracle's count over the same predicate."""
+    con = _con()
+    for mode, msm in (("AND", None), ("OR", None), ("OR", 2)):
+        got = seg.count("hash join probe", mode=mode,
+                        min_should_match=msm).collect()[0]["count"]
+        need = {"AND": 3, "OR": 1}[mode] if msm is None else msm
+        exp = con.sql(f"""
+            WITH docs AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '') AS toks FROM documents),
+            post AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs)
+            SELECT count(*) FROM (
+              SELECT doc_id FROM post
+              WHERE term IN ('hash', 'join', 'probe')
+              GROUP BY doc_id HAVING count(*) >= {need})
+        """).fetchall()[0][0]
+        assert got == exp, (mode, msm)
+        assert got > 0
