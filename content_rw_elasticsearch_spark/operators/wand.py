@@ -187,6 +187,13 @@ class SegmentIndex:
     # _derive_crossover); this static value is the fallback when the
     # manifest carries no build metrics. Deployments can still override.
     prune_min_postings: int = 500_000
+    # rescore takes the materialized-window + class-cut path only when
+    # the positional decode is volume-dominated: measured at 3M docs /
+    # nb_max=256 the 45-class cut of a 50-doc window turns a 135-150 s
+    # phrase decode into 7-45 s (BENCH/BASELINE.md (p)); at 5k docs the
+    # two extra driver round-trips cost more than the ~1.4 s decode.
+    # Overridable like prune_min_postings.
+    rescore_classes_min_docs: int = 100_000
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
@@ -626,7 +633,9 @@ class SegmentIndex:
         )
 
     def phrase_search(self, phrase: str, field: str | None = None,
-                      slop: int = 0) -> DataFrame:
+                      slop: int = 0,
+                      within_classes: "list[int] | None" = None
+                      ) -> DataFrame:
         """Phrase match over the positional segment store →
         (doc_id, phrase_tf). Decodes positions ONLY for the phrase's
         terms, restricted to salt classes where every term is present
@@ -646,7 +655,13 @@ class SegmentIndex:
         equi-joins for the tighter physical plan. Each intermediate join
         is bounded by ``p_i <= p0 + i + slop`` — implied by the final
         window bound plus strict increase (p_{n-1} >= p_i + (n-1-i)), so
-        the per-step pruning never changes results."""
+        the per-step pruning never changes results.
+
+        ``within_classes`` restricts the result to docs whose salt class
+        is in the list (intersected with the AND-feasibility lattice;
+        blocks of a class hold only that class's docs, so the class cut
+        is exact) — the hook rescore uses to decode positions ONLY for
+        the classes its bounded window occupies."""
         if not self.positions:
             raise ValueError(
                 "phrase_search requires a positional index — rebuild with "
@@ -673,6 +688,10 @@ class SegmentIndex:
                 ct[grp["salt"].to_numpy()] = grp["count"].to_numpy()
                 ct_full += ct[g % nb_t]
             present &= ct_full > 0
+        if within_classes is not None:
+            mask = np.zeros(nb_all, dtype=bool)
+            mask[[c for c in within_classes if 0 <= c < nb_all]] = True
+            present &= mask
         classes = [int(x) for x in np.flatnonzero(present)]
         if not classes:
             return empty
@@ -682,6 +701,13 @@ class SegmentIndex:
         decoded = segs.select("term", "gen", "docs_vb", "tfs_vb", "pos_vb") \
             .coalesce(max(1, par)) \
             .mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
+        if within_classes is not None:
+            # the block-level cut is a SUPERSET when a low-df term's
+            # nb_t < nb_max (one block salt covers several global
+            # classes); this columnar re-derivation makes the cut exact
+            decoded = decoded.filter(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb_all))
+                .cast("int").isin([int(c) for c in within_classes]))
         tomb = self._tombstones()
         if tomb is not None:
             decoded = (
@@ -1011,7 +1037,29 @@ class SegmentIndex:
         output and the one-term doc_len decode are both cut down to the
         window by a broadcast left-semi join BEFORE the outer join, so no
         corpus-sized side ever builds a hash table."""
-        win = self.search(query, k=window_size, mode=mode)
+        # Two window shapes, picked by how much the window's salt classes
+        # can prune the positional decode (same-window A/B at sf0.1: a
+        # 50-doc window covers 31/64 classes — the cut saves ~2% there
+        # but costs two extra driver round-trips; at nb_max=256 the same
+        # window covers <= 20% of classes and the decode cut dominates):
+        #   * window_size <= nb_max/4 — MATERIALIZE the window (bounded
+        #     <= window_size rows), derive its classes with one tiny
+        #     local-relation job, and restrict the phrase + doc_len
+        #     decodes to those classes;
+        #   * otherwise — keep the window lazy (no extra jobs) and decode
+        #     all AND-feasible classes, the pre-optimization shape.
+        use_classes = (int(window_size) <= self.nb_max // 4
+                       and self.n_docs >= self.rescore_classes_min_docs)
+        if use_classes:
+            win_rows = self.search(query, k=window_size, mode=mode).collect()
+            if not win_rows:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double")
+            win = self.spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in win_rows],
+                "doc_id long, score double")
+        else:
+            win = self.search(query, k=window_size, mode=mode)
         prefix, n_docs, avgdl = self._resolve_field(None)
         pterms = [prefix + t
                   for t in analyze_query_py(phrase, self.analyzer)]
@@ -1033,12 +1081,26 @@ class SegmentIndex:
         # until fold — same caveat as search()); idf summed per OCCURRENCE
         term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
         idf_sum = sum(self._idf(term_df[t], n_docs) for t in pterms)
+        win_classes = None
+        if use_classes:
+            win_classes = [
+                int(r["c"]) for r in
+                win.select(F.pmod(F.xxhash64(F.col("doc_id")),
+                                  F.lit(self.nb_max)).cast("int").alias("c"))
+                .distinct().collect()
+            ]
         win_ids = F.broadcast(win.select("doc_id"))
-        ph = (self.phrase_search(phrase, slop=slop)
+        ph = (self.phrase_search(phrase, slop=slop,
+                                 within_classes=win_classes)
               .join(win_ids, "doc_id", "left_semi"))
         # doc_len: decode ONE phrase term's postings (every phrase doc
-        # contains every phrase term), window-restricted, tombstone-aware
-        dl = self._decode([pterms[0]], None)
+        # contains every phrase term), restricted to the window's salt
+        # classes at the block level when those are known,
+        # window-restricted, tombstone-aware
+        dl = self._decode(
+            [pterms[0]],
+            None if win_classes is None else self._keys_for_classes(
+                meta[meta["term"] == pterms[0]], win_classes))
         tomb = self._tombstones()
         if tomb is not None:
             dl = (dl.join(F.broadcast(tomb), "doc_id", "left")

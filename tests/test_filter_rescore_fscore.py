@@ -221,3 +221,38 @@ def test_rescore_with_slop(seg):
         rescore_sql("hash join", "hash probe", k=6, window_size=6,
                     rescore_weight=5.0, slop=1)).fetchall()]
     assert dict(sloppy)[4] > dict(exact)[4]  # slop boost fired for doc 4
+
+
+def test_phrase_search_within_classes_is_exact(seg):
+    """within_classes is an exact class cut: restricting to one class
+    returns precisely the full result's docs whose salt class equals it
+    (blocks of a class hold only that class's docs)."""
+    from pyspark.sql import functions as F
+    full = {r["doc_id"]: r["phrase_tf"]
+            for r in seg.phrase_search("hash join").collect()}
+    cls_of = {r["doc_id"]: r["c"] for r in seg.spark.createDataFrame(
+        [(d,) for d in full], "doc_id long").select(
+        "doc_id", F.pmod(F.xxhash64(F.col("doc_id")),
+                         F.lit(seg.nb_max)).cast("int").alias("c")
+    ).collect()}
+    for c in sorted(set(cls_of.values())):
+        got = {r["doc_id"]: r["phrase_tf"] for r in
+               seg.phrase_search("hash join", within_classes=[c]).collect()}
+        assert got == {d: t for d, t in full.items() if cls_of[d] == c}
+
+
+def test_rescore_materialized_window_path(seg):
+    """window_size <= nb_max/4 AND a big-enough corpus takes the
+    materialized+class-cut path (forced here via the overridable
+    threshold, like prune_min_postings); results must match the oracle
+    exactly like the lazy path does."""
+    saved = seg.rescore_classes_min_docs
+    seg.rescore_classes_min_docs = 0
+    try:
+        got = _rows(seg.rescore("join", "hash join", k=1, window_size=1))
+    finally:
+        seg.rescore_classes_min_docs = saved
+    con = _con()
+    exp = con.sql(
+        rescore_sql("join", "hash join", k=1, window_size=1)).fetchall()
+    assert got == [(d, s) for d, s in exp] and got
