@@ -187,13 +187,15 @@ class SegmentIndex:
     # _derive_crossover); this static value is the fallback when the
     # manifest carries no build metrics. Deployments can still override.
     prune_min_postings: int = 500_000
-    # rescore takes the materialized-window + class-cut path only when
-    # the positional decode is volume-dominated: measured at 3M docs /
-    # nb_max=256 the 45-class cut of a 50-doc window turns a 135-150 s
-    # phrase decode into 7-45 s (BENCH/BASELINE.md (p)); at 5k docs the
-    # two extra driver round-trips cost more than the ~1.4 s decode.
-    # Overridable like prune_min_postings.
-    rescore_classes_min_docs: int = 100_000
+    # rescore/highlight take the materialized-result + class-cut path
+    # (decode positions only for the salt classes the bounded window /
+    # top-k occupies) only when the positional decode is
+    # volume-dominated: measured at 3M docs / nb_max=256 the 45-class
+    # cut of a 50-doc window turns a 135-150 s phrase decode into
+    # 7-45 s (BENCH/BASELINE.md (p)); at 5k docs the two extra driver
+    # round-trips cost more than the ~1.4 s decode. Overridable like
+    # prune_min_postings.
+    pos_classes_min_docs: int = 100_000
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
@@ -873,9 +875,32 @@ class SegmentIndex:
         meta = self._meta(terms)
         if meta.empty:
             return empty
+        # decode positions only for the salt classes the k hits occupy
+        # when the decode is volume-dominated (same gate + measurement as
+        # rescore — BENCH/BASELINE.md (p); k hits cover <= k classes, so
+        # at k=10 / nb_max=256 the cut removes >= 96% of the volume).
+        # Exactness: highlight_topk joins positions to the k hit ids, so
+        # sibling docs sharing a kept block drop out there.
+        segs = self._segments(sorted(set(meta["term"].unique())))
+        if (k <= self.nb_max // 4
+                and self.n_docs >= self.pos_classes_min_docs):
+            rows = topk.collect()
+            if not rows:
+                return empty
+            topk = self.spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows],
+                "doc_id long, score double")
+            classes = [
+                int(r["c"]) for r in
+                topk.select(F.pmod(F.xxhash64(F.col("doc_id")),
+                                   F.lit(self.nb_max)).cast("int")
+                            .alias("c")).distinct().collect()
+            ]
+            segs = self._filter_keys(segs,
+                                     self._keys_for_classes(meta, classes))
         par = self.spark.sparkContext.defaultParallelism
         decoded = (
-            self._segments(sorted(set(meta["term"].unique())))
+            segs
             .select("term", "gen", "docs_vb", "tfs_vb", "pos_vb")
             .coalesce(max(1, par))
             .mapInPandas(_decode_blocks_positions, _POS_SCHEMA)
@@ -1049,7 +1074,7 @@ class SegmentIndex:
         #   * otherwise — keep the window lazy (no extra jobs) and decode
         #     all AND-feasible classes, the pre-optimization shape.
         use_classes = (int(window_size) <= self.nb_max // 4
-                       and self.n_docs >= self.rescore_classes_min_docs)
+                       and self.n_docs >= self.pos_classes_min_docs)
         if use_classes:
             win_rows = self.search(query, k=window_size, mode=mode).collect()
             if not win_rows:

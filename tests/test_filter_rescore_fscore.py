@@ -246,12 +246,12 @@ def test_rescore_materialized_window_path(seg):
     materialized+class-cut path (forced here via the overridable
     threshold, like prune_min_postings); results must match the oracle
     exactly like the lazy path does."""
-    saved = seg.rescore_classes_min_docs
-    seg.rescore_classes_min_docs = 0
+    saved = seg.pos_classes_min_docs
+    seg.pos_classes_min_docs = 0
     try:
         got = _rows(seg.rescore("join", "hash join", k=1, window_size=1))
     finally:
-        seg.rescore_classes_min_docs = saved
+        seg.pos_classes_min_docs = saved
     con = _con()
     exp = con.sql(
         rescore_sql("join", "hash join", k=1, window_size=1)).fetchall()

@@ -121,3 +121,29 @@ def test_highlight_after_upsert(spark, corpus, tmp_path):
            idx.highlight("alpha beta", updated, text_col="text",
                          doc_col="doc_id", k=5, mode="OR", window=W).collect()}
     assert got[3] == ("beta alpha close", 2)
+
+
+def test_highlight_class_cut_path_is_identical(spark, tmp_path):
+    """The class-cut decode path (forced via pos_classes_min_docs=0)
+    must produce exactly the lazy path's snippets — exactness comes from
+    highlight_topk's join to the k hit ids."""
+    from content_rw_elasticsearch_spark.operators.segments import (
+        build_segments,
+    )
+    from content_rw_elasticsearch_spark.operators.wand import SegmentIndex
+    docs = [(i, f"alpha beta gamma doc{i} hash join probe") for i in
+            range(1, 9)]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "hlidx")
+    build_segments(corpus, out, text_col="text", doc_col="doc_id",
+                   n_buckets=2, target_block=8, nb_max=16,
+                   with_positions=True)
+    ix = SegmentIndex.load(spark, out)
+    ix.prune_min_postings = 0
+    kw = dict(text_col="text", doc_col="doc_id", k=3, mode="AND")
+    lazy = [tuple(r) for r in
+            ix.highlight("hash join", corpus, **kw).collect()]
+    ix.pos_classes_min_docs = 0  # force the class-cut path (k=3 <= 16/4)
+    cut = [tuple(r) for r in
+           ix.highlight("hash join", corpus, **kw).collect()]
+    assert cut == lazy and cut
