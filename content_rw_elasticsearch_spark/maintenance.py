@@ -1,0 +1,95 @@
+"""Index lifecycle maintenance — the ES ``_snapshot`` / restore analog.
+
+A snapshot is a point-in-time copy of the COMMITTED index state: the
+manifest (index.json) and delta manifests are read FIRST, then every
+file they make reachable is copied, so an ingest that commits while the
+copy runs is either wholly included (its manifest was read) or wholly
+excluded (it wasn't) — never half-visible. The copy goes through the
+same storage abstraction the engine uses (LocalFS or any Hadoop
+filesystem: hdfs://, s3a://), so a snapshot can land on a different
+store than the index — the ES snapshot-repository shape.
+
+Restore is the inverse: copy a snapshot into a fresh directory and open
+it like any index. Restores never touch the source snapshot, and
+restoring over a non-empty destination refuses rather than merging.
+
+In-flight build state (``*.tmp``, ``*.bak``, staging partials) is
+deliberately NOT snapshotted: a snapshot reproduces query-visible
+state, and the build is resumable from its own manifests anyway.
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import storage
+from .storage import join as pjoin
+
+_SKIP_SUFFIXES = (".tmp", ".bak")
+
+
+def _copy_tree(src_fs, dst_fs, src: str, dst: str) -> int:
+    """Recursive copy through the storage abstraction; returns files
+    copied. Skips in-flight suffixes at every level."""
+    n = 0
+    dst_fs.makedirs(dst)
+    for name in src_fs.listdir(src):
+        if name.endswith(_SKIP_SUFFIXES):
+            continue
+        s, d = pjoin(src, name), pjoin(dst, name)
+        if src_fs.isdir(s):
+            n += _copy_tree(src_fs, dst_fs, s, d)
+        else:
+            dst_fs.write_bytes(d, src_fs.read_bytes(s))
+            n += 1
+    return n
+
+
+def snapshot_index(index_dir: str, dest: str, spark=None) -> dict:
+    """Copy the committed index state to ``dest`` and write a
+    ``snapshot.json`` recording what was captured (source path, the
+    manifest as-of the copy, the committed delta generations). Returns
+    that record. Refuses a non-empty destination."""
+    src_fs = storage.fs_for(index_dir, spark)
+    dst_fs = storage.fs_for(dest, spark)
+    if not src_fs.exists(pjoin(index_dir, "index.json")):
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    if dst_fs.exists(dest) and dst_fs.listdir(dest):
+        raise FileExistsError(f"snapshot destination not empty: {dest}")
+    # read the commit points FIRST — the consistency cut
+    manifest = json.loads(src_fs.read_bytes(pjoin(index_dir, "index.json")))
+    gens = []
+    for name in src_fs.listdir(index_dir):
+        if name.startswith("delta_manifest_") and name.endswith(".json"):
+            dm = json.loads(src_fs.read_bytes(pjoin(index_dir, name)))
+            if dm.get("committed"):
+                gens.append(int(dm["gen"]))
+    n_files = _copy_tree(src_fs, dst_fs, index_dir, dest)
+    record = {
+        "source": index_dir,
+        "generations": sorted(gens),
+        "n_docs": int(manifest.get("n_docs", 0)),
+        "n_files": n_files,
+    }
+    dst_fs.write_bytes(pjoin(dest, "snapshot.json"),
+                       json.dumps(record, indent=1).encode())
+    return record
+
+
+def restore_index(snapshot_dir: str, dest: str, spark=None) -> dict:
+    """Copy a snapshot into ``dest`` (must be empty/absent) and return
+    its snapshot record. The restored directory opens with
+    SegmentIndex.load like any index; the snapshot itself is never
+    modified."""
+    src_fs = storage.fs_for(snapshot_dir, spark)
+    dst_fs = storage.fs_for(dest, spark)
+    if not src_fs.exists(pjoin(snapshot_dir, "snapshot.json")):
+        raise FileNotFoundError(f"not a snapshot: {snapshot_dir}")
+    if dst_fs.exists(dest) and dst_fs.listdir(dest):
+        raise FileExistsError(f"restore destination not empty: {dest}")
+    record = json.loads(
+        src_fs.read_bytes(pjoin(snapshot_dir, "snapshot.json")))
+    _copy_tree(src_fs, dst_fs, snapshot_dir, dest)
+    # the restored copy is an INDEX, not a snapshot-of-a-snapshot
+    dst_fs.rmtree(pjoin(dest, "snapshot.json"))
+    return record

@@ -43,6 +43,7 @@ class IndexFS(Protocol):
     def rmtree(self, path: str) -> None: ...
     def rename(self, src: str, dst: str) -> None: ...
     def listdir(self, path: str) -> list[str]: ...
+    def isdir(self, path: str) -> bool: ...
     def read_bytes(self, path: str) -> bytes: ...
     def write_bytes(self, path: str, data: bytes) -> None: ...
 
@@ -75,6 +76,9 @@ class LocalFS:
 
     def listdir(self, path: str) -> list[str]:
         return sorted(os.listdir(_local(path)))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(_local(path))
 
     def read_bytes(self, path: str) -> bytes:
         with open(_local(path), "rb") as f:
@@ -145,6 +149,11 @@ class HadoopFS:
             st.getPath().getName()
             for st in self._fs.listStatus(self._Path(path))
         )
+
+    def isdir(self, path: str) -> bool:
+        p = self._Path(path)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isDirectory())
 
     def read_bytes(self, path: str) -> bytes:
         stream = self._fs.open(self._Path(path))
