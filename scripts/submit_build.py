@@ -19,8 +19,17 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", required=True, help="parquet/iceberg path")
+    ap.add_argument("--corpus", default=None, help="parquet/iceberg path")
     ap.add_argument("--out", required=True, help="index output dir")
+    ap.add_argument("--snapshot-to", dest="snapshot_to", default=None,
+                    metavar="DEST",
+                    help="instead of building: snapshot the index at "
+                         "--out to DEST (ES _snapshot analog; DEST may "
+                         "be a different store)")
+    ap.add_argument("--restore-from", dest="restore_from", default=None,
+                    metavar="SNAP",
+                    help="instead of building: restore snapshot SNAP "
+                         "into --out (must be empty)")
     ap.add_argument("--text-col", default="content")
     ap.add_argument("--analyzer", default="simple", choices=["simple", "code"])
     ap.add_argument("--n-buckets", type=int, default=8)
@@ -37,6 +46,20 @@ def main() -> None:
     from content_rw_elasticsearch_spark.sources.corpus import with_doc_id
 
     spark = SparkSession.builder.getOrCreate()
+    if args.snapshot_to is not None or args.restore_from is not None:
+        from content_rw_elasticsearch_spark.maintenance import (
+            restore_index,
+            snapshot_index,
+        )
+        if args.snapshot_to is not None:
+            rec = snapshot_index(args.out, args.snapshot_to, spark)
+        else:
+            rec = restore_index(args.restore_from, args.out, spark)
+        print(rec)
+        spark.stop()
+        return
+    if not args.corpus:
+        raise SystemExit("--corpus is required to build")
     corpus = spark.read.parquet(args.corpus)
     if "doc_id" not in corpus.columns:
         corpus = with_doc_id(corpus)
