@@ -76,6 +76,66 @@ def snapshot_index(index_dir: str, dest: str, spark=None) -> dict:
     return record
 
 
+def rollover_ingest(
+    spark,
+    alias_dir: str,
+    batch,
+    max_docs: int,
+    text_col: str = "content",
+    doc_col: str = "doc_id",
+    deleted_col: str | None = None,
+    **build_opts,
+) -> list[str]:
+    """ES rollover / ILM hot-phase analog: ingest ``batch`` into the
+    ACTIVE shard under ``alias_dir`` (shard_000000, shard_000001, ...),
+    rolling to a fresh shard first when the active one already holds
+    >= ``max_docs`` documents. Queries span all shards via
+    operators/wand.search_sharded — the alias never changes shape for
+    readers, and rolled-over shards are immutable-by-default targets for
+    fold/merge/snapshot, which is the operational point of rollover
+    (bounded per-shard build state; old shards never rewritten by new
+    data). Returns the shard directory list, active last.
+
+    Contract notes: upserts/deletes route to the ACTIVE shard only —
+    like ES, writes through a rollover alias hit the write index; a
+    delete for a doc living in an older shard must target that shard
+    directly (doc ids are disjoint per shard, so an active-shard
+    tombstone cannot shadow an older shard's doc). ``max_docs`` is the
+    ES max_docs rollover condition."""
+    import json as _json
+
+    from .operators.segments import build_segments
+    from .streaming.ingest import apply_upserts
+
+    fs = storage.fs_for(alias_dir, spark)
+    fs.makedirs(alias_dir)
+    shards = sorted(n for n in fs.listdir(alias_dir)
+                    if n.startswith("shard_"))
+    if shards:
+        active = pjoin(alias_dir, shards[-1])
+        m = _json.loads(fs.read_bytes(pjoin(active, "index.json")))
+        # the HIGHEST committed delta's n_docs wins, like SegmentIndex.load
+        n_docs, best_gen = int(m.get("n_docs", 0)), -1
+        for name in fs.listdir(active):
+            if name.startswith("delta_manifest_") and name.endswith(".json"):
+                dm = _json.loads(fs.read_bytes(pjoin(active, name)))
+                if dm.get("committed") and int(dm["gen"]) > best_gen:
+                    best_gen = int(dm["gen"])
+                    n_docs = int(dm["n_docs"])
+        if n_docs < int(max_docs):
+            apply_upserts(spark, active, batch, text_col, doc_col,
+                          deleted_col)
+            return [pjoin(alias_dir, s) for s in shards]
+    # roll over: new shard built from this batch alone
+    new = pjoin(alias_dir, f"shard_{len(shards):06d}")
+    live = batch
+    if deleted_col is not None and deleted_col in batch.columns:
+        live = batch.filter(~batch[deleted_col])
+    build_segments(live, new, text_col=text_col, doc_col=doc_col,
+                   **build_opts)
+    return [pjoin(alias_dir, s) for s in shards] + [new]
+
+
 def restore_index(snapshot_dir: str, dest: str, spark=None) -> dict:
     """Copy a snapshot into ``dest`` (must be empty/absent) and return
     its snapshot record. The restored directory opens with

@@ -87,3 +87,58 @@ def test_snapshot_refuses_bad_targets(spark, tmp_path):
         restore_index(src, str(tmp_path / "r2"))  # an index, not a snapshot
     with pytest.raises(FileExistsError):
         restore_index(snap, src)  # non-empty restore target
+
+
+def test_rollover_ingest_and_alias_search(spark, tmp_path):
+    """ES rollover: batches ingest into the active shard until max_docs,
+    then a fresh shard starts; alias search over all shards must equal a
+    single index built over the union of live docs."""
+    from content_rw_elasticsearch_spark.maintenance import rollover_ingest
+    from content_rw_elasticsearch_spark.operators.wand import search_sharded
+
+    alias = str(tmp_path / "alias")
+    opts = dict(text_col="text", doc_col="doc_id", deleted_col="deleted",
+                n_buckets=1, target_block=8, nb_max=4)
+    batches = [
+        [(1, "hash join alpha", False), (2, "hash join beta", False)],
+        [(3, "hash gamma", False)],                 # fits shard 0 (3 < 4)
+        [(4, "hash join delta", False),
+         (5, "merge sort", False)],   # shard 0 at 3 < 4 when checked →
+        #                               still ingests (ES checks BEFORE)
+        [(6, "hash join omega", False)],   # shard 0 at 5 >= 4 → rolls
+    ]
+    dirs = None
+    for b in batches:
+        bdf = spark.createDataFrame(
+            b, "doc_id long, text string, deleted boolean")
+        dirs = rollover_ingest(spark, alias, bdf, max_docs=4, **opts)
+    assert len(dirs) == 2  # one rollover happened
+    shards = [SegmentIndex.load(spark, d) for d in dirs]
+    for ix in shards:
+        ix.prune_min_postings = 0
+    union = [r for b in batches for r in b]
+    single_dir = str(tmp_path / "uni")
+    corpus = spark.createDataFrame(
+        [(d, t) for d, t, _ in union], "doc_id long, text string")
+    build_segments(corpus, single_dir, text_col="text", doc_col="doc_id",
+                   n_buckets=1, target_block=8, nb_max=4)
+    single = SegmentIndex.load(spark, single_dir)
+    single.prune_min_postings = 0
+    for q, mode in (("hash join", "AND"), ("hash", "OR")):
+        got = [(r["doc_id"], r["score"]) for r in
+               search_sharded(shards, q, k=10, mode=mode).collect()]
+        exp = [(r["doc_id"], r["score"]) for r in
+               single.search(q, k=10, mode=mode).collect()]
+        assert got == exp and got, (q, mode)
+    # deletes route to the ACTIVE shard (doc 6 lives there)
+    dead = spark.createDataFrame(
+        [(6, None, True)], "doc_id long, text string, deleted boolean")
+    dirs = rollover_ingest(spark, alias, dead, max_docs=4, **{
+        k: v for k, v in opts.items()
+        if k in ("text_col", "doc_col", "deleted_col")})
+    shards = [SegmentIndex.load(spark, d) for d in dirs]
+    for ix in shards:
+        ix.prune_min_postings = 0
+    got = {r["doc_id"] for r in
+           search_sharded(shards, "hash join", k=10, mode="AND").collect()}
+    assert 6 not in got and got
