@@ -136,6 +136,18 @@ def rollover_ingest(
     return [pjoin(alias_dir, s) for s in shards] + [new]
 
 
+def load_alias(spark, alias_dir: str) -> list:
+    """Open every shard of a rollover alias (oldest first) — the list
+    operators/wand.search_sharded queries as one logical index."""
+    from .operators.wand import SegmentIndex
+
+    fs = storage.fs_for(alias_dir, spark)
+    return [
+        SegmentIndex.load(spark, pjoin(alias_dir, n))
+        for n in sorted(fs.listdir(alias_dir)) if n.startswith("shard_")
+    ]
+
+
 def restore_index(snapshot_dir: str, dest: str, spark=None) -> dict:
     """Copy a snapshot into ``dest`` (must be empty/absent) and return
     its snapshot record. The restored directory opens with

@@ -113,7 +113,9 @@ def test_rollover_ingest_and_alias_search(spark, tmp_path):
             b, "doc_id long, text string, deleted boolean")
         dirs = rollover_ingest(spark, alias, bdf, max_docs=4, **opts)
     assert len(dirs) == 2  # one rollover happened
-    shards = [SegmentIndex.load(spark, d) for d in dirs]
+    from content_rw_elasticsearch_spark.maintenance import load_alias
+    shards = load_alias(spark, alias)
+    assert [ix.path for ix in shards] == dirs
     for ix in shards:
         ix.prune_min_postings = 0
     union = [r for b in batches for r in b]
