@@ -98,6 +98,37 @@ def main() -> None:
     show("after upsert", idx2.search("hash", k=5))
     show("health after", idx2.describe())
 
+    # 5. lifecycle: snapshot the current state, keep ingesting, restore
+    from content_rw_elasticsearch_spark.maintenance import (
+        load_alias,
+        restore_index,
+        rollover_ingest,
+        snapshot_index,
+    )
+    snap = snapshot_index(idx_dir, f"{work}/snap")
+    print("-- snapshot:", snap["n_docs"], "docs,", snap["n_files"], "files")
+    restore_index(f"{work}/snap", f"{work}/restored")
+    r = SegmentIndex.load(spark, f"{work}/restored")
+    r.prune_min_postings = 0
+    show("restored", r.search("hash", k=3))
+
+    # 6. rollover alias: batches roll to a new shard past max_docs;
+    # readers span the alias via sharded search
+    alias = f"{work}/alias"
+    for lo in (0, 3):
+        b = spark.createDataFrame(
+            [(100 + lo + i, f"rolled hash doc{100 + lo + i}", False)
+             for i in range(3)],
+            "doc_id long, content string, deleted boolean")
+        rollover_ingest(spark, alias, b, max_docs=3, text_col="content",
+                        deleted_col="deleted", n_buckets=1,
+                        target_block=16, nb_max=4)
+    shards2 = load_alias(spark, alias)
+    for s2 in shards2:
+        s2.prune_min_postings = 0
+    show(f"alias ({len(shards2)} shards)",
+         search_sharded(shards2, "rolled hash", k=3))
+
     print(f"workdir: {work}")
     spark.stop()
 
