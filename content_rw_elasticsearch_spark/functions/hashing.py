@@ -74,6 +74,30 @@ def xxh64_long(v: int, seed: int = SPARK_SEED) -> int:
     return xxh64((v & _M).to_bytes(8, "little"), seed)
 
 
+def xxh64_long_np(vals, seed: int = SPARK_SEED):
+    """Vectorized ``xxh64_long`` for an int64 numpy array (one 8-byte
+    little-endian block per value — the only shape the query fast path
+    needs). Parity with xxh64_long / Spark's xxhash64(long_col) is pinned
+    by tests/test_hashing.py; uint64 arithmetic wraps modulo 2^64 exactly
+    like the scalar implementation's explicit masking."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = np.asarray(vals).astype(np.int64).view(np.uint64)
+        p1, p2, p3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
+        p4 = np.uint64(_P4)
+        k = v * p2
+        k = ((k << np.uint64(31)) | (k >> np.uint64(33))) * p1
+        h = np.uint64((seed + _P5 + 8) & _M) ^ k
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + p4
+        h ^= h >> np.uint64(33)
+        h *= p2
+        h ^= h >> np.uint64(29)
+        h *= p3
+        h ^= h >> np.uint64(32)
+        return h.view(np.int64)
+
+
 def pmod(h: int, n: int) -> int:
     """Spark ``pmod`` on a signed hash."""
     return ((h % n) + n) % n

@@ -41,6 +41,7 @@ class from doc_id.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -58,7 +59,7 @@ from pyspark.sql.types import (
 from .. import BM25_B, BM25_K1
 from .. import storage
 from ..functions.analyzer import analyze_query_py, analyzer_column
-from ..functions.hashing import pmod, xxh64_string
+from ..functions.hashing import pmod, xxh64_long_np, xxh64_string
 from ..storage import join as pjoin
 from . import codec
 from .bm25 import ROUND_DECIMALS, bm25_partial_col
@@ -73,6 +74,22 @@ from .segments import SEGMENT_READ_SCHEMA
 # CPython can reuse a stopped session's id for a new session, which would
 # inherit a stale T_job (ADVICE r4); app ids are unique per context.
 _TJOB_CACHE: dict[str, float] = {}
+
+# Driver fast-path postings bound (round 6, guide §1.2/§5): below this
+# many candidate postings the cheapest possible Spark plan can never beat
+# a bounded driver-side read — the SMALLEST python-boundary Spark job
+# measures ~0.2-0.35 s fixed at local[32] (bench_extra.py round-6
+# measurements: a 1-partition identity mapInPandas job is 0.20 s, the
+# full decode+score job 0.5-0.75 s), while 2M postings are ~10-20 MB of
+# varbyte parquet that pyarrow + the numpy codec decode and score in
+# tens of milliseconds. This is the same measured-crossover discipline
+# as prune_min_postings, applied one level down: tiny queries are served
+# by a bounded pyarrow read of the SAME parquet segments (never a cache
+# — every query re-reads storage), big queries take the distributed
+# plan unchanged. Memory bound: 2M postings ≈ 50 MB of int64 arrays.
+DRIVER_MAX_POSTINGS = 2_000_000
+
+_META_COLS = ["term", "salt", "nb", "count", "max_tf", "min_dl"]
 
 _DECODED_SCHEMA = StructType(
     [
@@ -196,6 +213,11 @@ class SegmentIndex:
     # round-trips cost more than the ~1.4 s decode. Overridable like
     # prune_min_postings.
     pos_classes_min_docs: int = 100_000
+    # queries whose candidate postings fit under this bound are served by
+    # the driver fast path (bounded pyarrow read + numpy scoring — see
+    # DRIVER_MAX_POSTINGS); 0 disables the fast path entirely (the
+    # distributed-plan parity tests use that).
+    driver_max_postings: int = DRIVER_MAX_POSTINGS
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
@@ -380,12 +402,250 @@ class SegmentIndex:
         return t.groupBy("doc_id").agg(F.max("tgen").alias("tgen"))
 
     def _meta(self, terms: list[str]) -> pd.DataFrame:
-        """Metadata-only scan — binary columns never touched."""
+        """Metadata-only scan — binary columns never touched. On a local
+        base-only index the scan is a direct pyarrow read (row-group
+        pruned by the term-sorted layout, no Spark job — the same file
+        set and filters the Spark plan reads); delta generations and URI
+        stores keep the Spark path. Equivalence is pinned by
+        tests/test_fast_path.py."""
+        d = self._local_seg_dir()
+        if d is not None and not self.generations:
+            return self._meta_local(d, terms)
         return (
             self._segments(terms)
             .select("term", "gen", "salt", "nb", "count", "max_tf", "min_dl")
             .toPandas()
         )
+
+    # -- driver fast path (bounded local reads; see DRIVER_MAX_POSTINGS) --
+    def _local_seg_dir(self) -> "str | None":
+        """Base-segment directory for the driver fast path, or None when
+        the store is not a plain local path (URI stores go through the
+        JVM Hadoop filesystem and the distributed plan)."""
+        if "://" in self.path:
+            return None
+        d = os.path.join(self.path, self.seg_dir)
+        return d if os.path.isdir(d) else None
+
+    def _fast_eligible(self, filter_ids: "DataFrame | None") -> bool:
+        """Fast-path admission: base-only (delta generations carry
+        tombstones and per-gen stats — the distributed path owns that
+        logic), local storage, and no ES filter context (an arbitrary
+        DataFrame the driver cannot evaluate)."""
+        return (filter_ids is None and not self.generations
+                and self._local_seg_dir() is not None)
+
+    def _bucket_dirs(self, seg_dir: str, terms: list[str]) -> list[tuple]:
+        """(bucket_dir, terms_in_bucket) for the buckets the query terms
+        hash to — the same driver-side bucket pruning _segments does."""
+        by_bucket: dict[int, list[str]] = {}
+        for t in terms:
+            by_bucket.setdefault(pmod(xxh64_string(t), self.n_buckets),
+                                 []).append(t)
+        out = []
+        for b, ts in sorted(by_bucket.items()):
+            bd = os.path.join(seg_dir, f"bucket={b}")
+            if os.path.isdir(bd):
+                out.append((bd, sorted(ts)))
+        return out
+
+    def _meta_local(self, seg_dir: str, terms: list[str]) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tabs = [
+            pq.read_table(bd, columns=_META_COLS,
+                          filters=[("term", "in", ts)])
+            for bd, ts in self._bucket_dirs(seg_dir, terms)
+        ]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") if c != "term"
+                 else pd.Series(dtype="object")
+                 for c in ["term", "gen"] + _META_COLS[1:]})
+        pdf = pa.concat_tables(tabs).to_pandas()
+        pdf.insert(1, "gen", np.int32(0))
+        return pdf
+
+    def _blocks_local(self, terms: list[str],
+                      keys: "set[tuple[str, int, int]] | None" = None
+                      ) -> pd.DataFrame:
+        """Base segment rows WITH binary columns via pyarrow, filtered to
+        the query terms (and, for the pruned plan, to the (term, salt)
+        block keys) — the fast-path twin of _segments/_filter_keys."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = ["term", "salt", "count", "docs_vb", "tfs_vb", "dlens_vb"]
+        by_term: "dict[str, list[int]] | None" = None
+        if keys is not None:
+            by_term = {}
+            for t, _gen, s in keys:
+                by_term.setdefault(t, []).append(int(s))
+        tabs = []
+        for bd, ts in self._bucket_dirs(self._local_seg_dir(), terms):
+            if by_term is None:
+                filters = [("term", "in", ts)]
+            else:
+                filters = [
+                    [("term", "=", t), ("salt", "in", sorted(by_term[t]))]
+                    for t in ts if t in by_term
+                ]
+                if not filters:
+                    continue
+            tab = pq.read_table(bd, columns=cols, filters=filters)
+            if tab.num_rows:
+                tabs.append(tab)
+        if not tabs:
+            return pd.DataFrame(columns=cols)
+        return pa.concat_tables(tabs).to_pandas()
+
+    def _decode_local(self, blocks: pd.DataFrame
+                      ) -> "tuple[np.ndarray, ...]":
+        """Decode fast-path block rows → flat (doc_ids, tfs, dls,
+        term_idx, uniq_terms) numpy arrays — the same codec the
+        distributed decoder runs, minus the Arrow boundary."""
+        terms_b = blocks["term"].to_numpy(object)
+        uniq, tcodes = np.unique(terms_b, return_inverse=True)
+        docs_l, tfs_l, dls_l, tidx_l = [], [], [], []
+        for i in range(len(blocks)):
+            d = codec.delta_decode(blocks["docs_vb"].iat[i]).astype(np.int64)
+            docs_l.append(d)
+            tfs_l.append(codec.varbyte_decode(
+                blocks["tfs_vb"].iat[i]).astype(np.int64))
+            dls_l.append(codec.varbyte_decode(
+                blocks["dlens_vb"].iat[i]).astype(np.int64))
+            tidx_l.append(np.full(d.size, tcodes[i], dtype=np.int64))
+        if not docs_l:
+            z = np.empty(0, np.int64)
+            return z, z, z, z, uniq
+        return (np.concatenate(docs_l), np.concatenate(tfs_l),
+                np.concatenate(dls_l), np.concatenate(tidx_l), uniq)
+
+    def _score_local(self, blocks: pd.DataFrame, term_df: dict,
+                     required: "int | None", k: "int | None",
+                     keep_classes: "list[int] | None",
+                     n_docs: int, avgdl: float,
+                     msm: "int | None",
+                     after: "tuple[float, int] | None"
+                     ) -> list[tuple[int, float]]:
+        """Driver twin of _score(...).collect(): same BM25 partials, the
+        same HALF_UP rounding semantics (similarity._round_half_up — the
+        pinned Spark Round parity), the same (score desc, doc_id asc)
+        order and cursor/nterms filters. Returns [(doc_id, score)]."""
+        from .. import BM25_B, BM25_K1
+
+        doc_ids, tfs, dls, tidx, uniq = self._decode_local(blocks)
+        if doc_ids.size == 0:
+            return []
+        if keep_classes is not None:
+            cls = xxh64_long_np(doc_ids) % np.int64(self.nb_max)
+            m = np.isin(cls, np.asarray(keep_classes, dtype=np.int64))
+            doc_ids, tfs, dls, tidx = doc_ids[m], tfs[m], dls[m], tidx[m]
+            if doc_ids.size == 0:
+                return []
+        idf = np.array([self._idf(term_df[t], n_docs) for t in uniq])
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avgdl)
+        partial = idf[tidx] * (tf * (BM25_K1 + 1.0)) / denom
+        order = np.argsort(doc_ids, kind="stable")
+        ds = doc_ids[order]
+        ps = partial[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(ds[1:] != ds[:-1]) + 1))
+        raw = np.add.reduceat(ps, starts)
+        nterms = np.diff(np.concatenate((starts, [ds.size])))
+        docs_u = ds[starts]
+        if required is not None:
+            m = nterms == required
+            raw, docs_u, nterms = raw[m], docs_u[m], nterms[m]
+        if msm is not None:
+            m = nterms >= msm
+            raw, docs_u = raw[m], docs_u[m]
+        return self._topk_rounded(docs_u, raw, k, after)
+
+    @staticmethod
+    def _topk_rounded(docs_u: np.ndarray, raw: np.ndarray,
+                      k: "int | None",
+                      after: "tuple[float, int] | None"
+                      ) -> list[tuple[int, float]]:
+        """Exact rounded-order top-k over raw scores: the bulk is ranked
+        on raw values; HALF_UP rounding (the expensive repr-based exact
+        form) touches only the bounded candidate set around the k-th
+        score / the cursor boundary. Exactness: ROUND_DECIMALS quantizes
+        to q = 10^-4, |round(x) - x| <= q/2, so round is monotone up to a
+        q-wide band — candidates with raw >= kth_raw - q - eps are a
+        superset of the rounded-order top-k."""
+        from .similarity import _round_half_up
+
+        q = 10.0 ** (-ROUND_DECIMALS)
+        eps = 1e-9
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            hi = raw > a_s + 0.5 * q + eps        # rounds above the cursor
+            border = (~hi) & (raw >= a_s - 0.5 * q - eps)
+            keep = ~hi
+            for i in np.flatnonzero(border):
+                r = _round_half_up(float(raw[i]), ROUND_DECIMALS)
+                if r > a_s or (r == a_s and int(docs_u[i]) <= a_d):
+                    keep[i] = False
+            docs_u, raw = docs_u[keep], raw[keep]
+        if docs_u.size == 0:
+            return []
+        if k is not None and docs_u.size > k:
+            kth = np.partition(raw, docs_u.size - k)[docs_u.size - k]
+            m = raw >= kth - q - eps
+            docs_u, raw = docs_u[m], raw[m]
+        cand = sorted(
+            ((-_round_half_up(float(r), ROUND_DECIMALS), int(d))
+             for d, r in zip(docs_u, raw)),
+        )
+        if k is not None:
+            cand = cand[:k]
+        return [(d, -s) for s, d in cand]
+
+    def _rows_df(self, rows: list[tuple[int, float]]) -> DataFrame:
+        """(doc_id, score) rows → DataFrame as a JVM LocalRelation (SQL
+        VALUES literal). createDataFrame(rows) builds a python-RDD-backed
+        frame whose every collect() runs a full python job (~0.2-0.35 s
+        measured); a LocalRelation collects driver-side with NO job. The
+        double goes through CAST('<repr>' AS DOUBLE) so the binary value
+        round-trips exactly (shortest-repr parse, same contract as
+        similarity._round_half_up)."""
+        if not rows:
+            return self._empty_df("doc_id long, score double")
+        vals = ", ".join(
+            f"(CAST({int(d)} AS BIGINT), CAST('{float(s)!r}' AS DOUBLE))"
+            for d, s in rows
+        )
+        return self.spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
+
+    _SQL_TYPES = {"long": "BIGINT", "bigint": "BIGINT", "int": "INT",
+                  "double": "DOUBLE", "string": "STRING"}
+
+    def _empty_df(self, schema: str) -> DataFrame:
+        """Cached empty result frame per schema, as a LocalRelation
+        (SELECT ... WHERE 1=0 — no python RDD, no job on collect).
+        createDataFrame([], ...) cost ~30-60 ms of driver work per call
+        plus a ~0.15 s python job per collect, and every query used to
+        build one eagerly whether or not it returned empty (a per-query
+        tax the r6 profiling caught); the cached PLAN is a constant, so
+        reuse is plan reuse like _segs_cache, not result caching."""
+        cache = getattr(self, "_empty_cache", None)
+        if cache is None:
+            cache = {}
+            self._empty_cache = cache
+        if schema not in cache:
+            sel = ", ".join(
+                f"CAST(NULL AS {self._SQL_TYPES[t.strip()]}) AS {n.strip()}"
+                for n, t in (c.strip().rsplit(" ", 1)
+                             for c in schema.split(","))
+            )
+            cache[schema] = self.spark.sql(f"SELECT {sel} WHERE 1=0")
+        return cache[schema]
 
     def _idf(self, df: int, n_docs: int | None = None) -> float:
         n = self.n_docs if n_docs is None else n_docs
@@ -534,7 +794,7 @@ class SegmentIndex:
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
         )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty_df("doc_id long, score double")
         # a field whose every document was deleted (delta field_stats says
         # n_docs == 0) matches nothing — short-circuit instead of scoring
         # stale postings with degenerate idf (ADVICE r4)
@@ -559,7 +819,14 @@ class SegmentIndex:
         term_df = {t: int(g["count"].sum()) for t, g in meta.groupby("term")}
         required = len(terms) if is_and else None
 
-        if not prune or sum(term_df.values()) <= self.prune_min_postings:
+        fast = (self.driver_max_postings > 0
+                and self._fast_eligible(filter_ids))
+        total = sum(term_df.values())
+        if not prune or total <= self.prune_min_postings:
+            if fast and total <= self.driver_max_postings:
+                return self._rows_df(self._score_local(
+                    self._blocks_local(terms), term_df, required, k,
+                    None, n_docs, avgdl, msm, after))
             return self._score(self._decode(terms, None), term_df, required, k,
                                n_docs=n_docs, avgdl=avgdl, min_terms=msm,
                                after=after, filter_ids=filter_ids)
@@ -613,26 +880,56 @@ class SegmentIndex:
                 break
 
         seed_keys = self._keys_for_classes(meta, seed)
-        seed_top = self._score(
-            self._decode(terms, seed_keys), term_df, required, k,
-            keep_classes=seed, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
-            after=after, filter_ids=filter_ids,
-        ).collect()
+        # θ-seeding: the seed classes' decode volume is bounded (classes
+        # are added only until est >= k, blocks target TARGET_BLOCK
+        # postings), so on an eligible index the seed phase is a driver-
+        # side pyarrow read + numpy score — one Spark job round-trip
+        # (~0.2-0.75 s measured, bench_extra.py) removed from every
+        # pruned query. Fallback: the original distributed seed job.
+        if fast and self._keys_volume(meta, seed_keys) \
+                <= self.driver_max_postings:
+            seed_top = self._score_local(
+                self._blocks_local(terms, seed_keys), term_df, required,
+                k, seed, n_docs, avgdl, msm, after)
+        else:
+            seed_top = [
+                (int(r["doc_id"]), float(r["score"])) for r in self._score(
+                    self._decode(terms, seed_keys), term_df, required, k,
+                    keep_classes=seed, n_docs=n_docs, avgdl=avgdl,
+                    min_terms=msm, after=after, filter_ids=filter_ids,
+                ).collect()
+            ]
         if len(seed_top) >= k:
             # θ is derived from a ROUNDED score; subtract a half-ulp of the
             # rounding so (a) rounding-up can't inflate θ past the true raw
             # k-th score and (b) docs tying the k-th rounded score (broken
             # by doc_id in the final sort) always survive pruning.
-            theta = float(seed_top[-1]["score"]) - 0.5 * 10 ** (-ROUND_DECIMALS)
+            theta = float(seed_top[-1][1]) - 0.5 * 10 ** (-ROUND_DECIMALS)
             keep = [c for c in order if ub[c] >= theta or c in set(seed)]
         else:
             keep = order  # not enough seeds: fall back to all feasible classes
         keep_keys = self._keys_for_classes(meta, keep)
+        if fast and self._keys_volume(meta, keep_keys) \
+                <= self.driver_max_postings:
+            return self._rows_df(self._score_local(
+                self._blocks_local(terms, keep_keys), term_df, required,
+                k, keep, n_docs, avgdl, msm, after))
         return self._score(
             self._decode(terms, keep_keys), term_df, required, k,
             keep_classes=keep, n_docs=n_docs, avgdl=avgdl, min_terms=msm,
             after=after, filter_ids=filter_ids,
         )
+
+    @staticmethod
+    def _keys_volume(meta: pd.DataFrame,
+                     keys: "set[tuple[str, int, int]]") -> int:
+        """Total posting count of the given (term, gen, salt) block keys
+        (from the already-fetched metadata — no extra scan)."""
+        return int(sum(
+            int(c) for t, g, s, c in zip(
+                meta["term"], meta["gen"], meta["salt"], meta["count"])
+            if (t, int(g), int(s)) in keys
+        ))
 
     def phrase_search(self, phrase: str, field: str | None = None,
                       slop: int = 0,
@@ -672,7 +969,7 @@ class SegmentIndex:
             )
         prefix, _, _ = self._resolve_field(field)
         terms = [prefix + t for t in analyze_query_py(phrase, self.analyzer)]
-        empty = self.spark.createDataFrame([], "doc_id long, phrase_tf long")
+        empty = self._empty_df("doc_id long, phrase_tf long")
         if not terms:
             return empty
         meta = self._meta(sorted(set(terms)))
@@ -761,8 +1058,7 @@ class SegmentIndex:
             )
         prefix, _, _ = self._resolve_field(field)
         toks = analyze_query_py(phrase, self.analyzer)
-        empty = self.spark.createDataFrame(
-            [], "doc_id long, phrase_tf long")
+        empty = self._empty_df("doc_id long, phrase_tf long")
         if not toks:
             return empty
         exact = [prefix + t for t in toks[:-1]]
@@ -867,9 +1163,8 @@ class SegmentIndex:
             )
         topk = self.search(query, k=k, mode=mode, prune=prune)
         terms = sorted(set(analyze_query_py(query, self.analyzer)))
-        empty = self.spark.createDataFrame(
-            [], "doc_id long, score double, snippet string, n_window_terms long"
-        )
+        empty = self._empty_df(
+            "doc_id long, score double, snippet string, n_window_terms long")
         if not terms:
             return empty
         meta = self._meta(terms)
@@ -937,7 +1232,7 @@ class SegmentIndex:
         from an exact top-(k+1) leaves the exact top-k of the rest."""
         from .similarity import _round_half_up
 
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty_df("doc_id long, score double")
         row = (docs.filter(F.col(doc_col) == int(doc_id))
                .select(text_col).limit(1).collect())
         if not row or row[0][0] is None:
@@ -980,7 +1275,7 @@ class SegmentIndex:
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
         )
-        empty = self.spark.createDataFrame([], "doc_id long")
+        empty = self._empty_df("doc_id long")
         if not terms or n_docs == 0:
             return empty
         meta = self._meta(terms)
@@ -1078,8 +1373,7 @@ class SegmentIndex:
         if use_classes:
             win_rows = self.search(query, k=window_size, mode=mode).collect()
             if not win_rows:
-                return self.spark.createDataFrame(
-                    [], "doc_id long, score double")
+                return self._empty_df("doc_id long, score double")
             win = self.spark.createDataFrame(
                 [(int(r["doc_id"]), float(r["score"])) for r in win_rows],
                 "doc_id long, score double")
@@ -1158,7 +1452,7 @@ class SegmentIndex:
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
         )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty_df("doc_id long, score double")
         if not terms or n_docs == 0:
             return empty
         meta = self._meta(terms)
@@ -1343,7 +1637,7 @@ class SegmentIndex:
         subqueries is not boundable by any single subquery's block
         maxima)."""
         tb = float(tie_breaker)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty_df("doc_id long, score double")
         sets = [self._scored_match_set(q, "OR", field) for q in queries]
         sets = [s for s in sets if s is not None]
         if not sets:
@@ -1502,8 +1796,7 @@ class SegmentIndex:
             )
         ids = self.match_ids(query, mode)
         n_fg = ids.count()
-        empty = self.spark.createDataFrame(
-            [], "term string, fg long, bg long, score double")
+        empty = self._empty_df("term string, fg long, bg long, score double")
         if n_fg == 0:
             return empty
         fg = (
@@ -1564,7 +1857,7 @@ class SegmentIndex:
             for s in synonyms.get(t, []):
                 members.update(analyze_query_py(s, self.analyzer))
             groups.append({prefix + m for m in members})
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty_df("doc_id long, score double")
         if not groups or n_docs == 0:
             return empty
         meta = self._meta(sorted(set().union(*groups)))
@@ -1653,7 +1946,7 @@ class SegmentIndex:
                 f"{sorted(self.field_stats)}"
             )
         base_terms = sorted(set(analyze_query_py(query, self.analyzer)))
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty_df("doc_id long, score double")
         fparams = {}
         for f, w in weights.items():
             fs = self.field_stats[f]
@@ -1764,9 +2057,8 @@ class SegmentIndex:
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
         )
-        empty = self.spark.createDataFrame(
-            [], "term string, tf long, df long, doc_len long, "
-                "idf double, partial double")
+        empty = self._empty_df("term string, tf long, df long, doc_len long, "
+                               "idf double, partial double")
         if not terms or n_docs == 0:
             return empty
         meta = self._meta(terms)
@@ -1806,8 +2098,7 @@ class SegmentIndex:
         terms = sorted(
             {prefix + t for t in analyze_query_py(query, self.analyzer)}
         )
-        empty = self.spark.createDataFrame(
-            [], "group_key string, doc_id long, score double")
+        empty = self._empty_df("group_key string, doc_id long, score double")
         if not terms or n_docs == 0:
             return empty
         meta = self._meta(terms)
@@ -1887,8 +2178,7 @@ class SegmentIndex:
         fprefix, exp = self._fuzzy_expansions(term, max_edits, field,
                                               max_expansions)
         if not exp:
-            return self.spark.createDataFrame(
-                [], "term string, doc_id long, tf long")
+            return self._empty_df("term string, doc_id long, tf long")
         decoded = self._decode(sorted(fprefix + t for t in exp), None)
         tomb = self._tombstones()
         if tomb is not None:
@@ -1941,8 +2231,7 @@ class SegmentIndex:
         fprefix, exp = self._regexp_expansions(pattern, field,
                                                max_expansions)
         if not exp:
-            return self.spark.createDataFrame(
-                [], "term string, doc_id long, tf long")
+            return self._empty_df("term string, doc_id long, tf long")
         decoded = self._decode(sorted(fprefix + t for t in exp), None)
         tomb = self._tombstones()
         if tomb is not None:
@@ -1969,7 +2258,7 @@ class SegmentIndex:
         ES's blended rewrite intends. Rank-identical to
         search(" ".join(expansions), mode="OR", prune=False)."""
         prefix, n_docs, avgdl = self._resolve_field(field)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = self._empty_df("doc_id long, score double")
         if n_docs == 0:
             return empty
         _, exp = self._fuzzy_expansions(term, max_edits, field,
@@ -2070,7 +2359,7 @@ def search_sharded(indexes: "list[SegmentIndex]", query: str, k: int = 10,
             "search needs per-field stat merging (unimplemented)"
         )
     terms = sorted(set(analyze_query_py(query, an)))
-    empty = spark.createDataFrame([], "doc_id long, score double")
+    empty = indexes[0]._empty_df("doc_id long, score double")
     if not terms:
         return empty
     is_and = mode.upper() == "AND"
