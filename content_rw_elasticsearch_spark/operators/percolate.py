@@ -40,13 +40,19 @@ def percolate(docs: DataFrame, queries: DataFrame,
               analyzer: str = "simple", text_col: str = "text",
               doc_col: str = "doc_id", query_id_col: str = "query_id",
               query_col: str = "query",
-              mode_col: str | None = "mode") -> DataFrame:
+              mode_col: str | None = "mode",
+              deterministic: bool = True) -> DataFrame:
     """→ (doc_id, query_id) pairs where the document matches the stored
     query. ``queries`` columns: query_id, query text, and (optionally)
     a mode column with 'AND'/'OR' per query — absent means all AND.
     Matching is term-set containment (AND) / intersection (OR) under the
     shared analyzer, the percolator's match semantics for term queries.
-    Deterministic order (doc_id, query_id)."""
+    ``deterministic=True`` (default) totally orders the result by
+    (doc_id, query_id) for gate/oracle stability; pass False on bulk
+    paths — the global sort is a full extra exchange that exists only
+    for reproducible output order (VERDICT r5 #7: a corpus-sized hit
+    set pays a range-partition sort for nothing when the consumer
+    re-orders or doesn't care)."""
     mode_expr = (F.upper(F.col(mode_col)) if mode_col is not None
                  and mode_col in queries.columns else F.lit("AND"))
     qterms = (
@@ -73,4 +79,5 @@ def percolate(docs: DataFrame, queries: DataFrame,
         .join(F.broadcast(qsizes), "query_id")
         .filter((F.col("mode") == "OR") | (F.col("n_hit") == F.col("n_terms")))
     )
-    return hits.select("doc_id", "query_id").orderBy("doc_id", "query_id")
+    out = hits.select("doc_id", "query_id")
+    return out.orderBy("doc_id", "query_id") if deterministic else out

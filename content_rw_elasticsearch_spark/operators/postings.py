@@ -172,10 +172,11 @@ def build_postings_doclocal(tok_df: DataFrame) -> DataFrame:
     exchange, no posting-count-group hash-agg. Measured at 3M docs /
     local[8], same-window interleaved (BENCH/BASELINE.md (m)): staging
     78-84 s (agg) -> 59.6-60.5 s, and the doc-grouped row order
-    compresses the staging parquet 748 -> 469 MB. Kept behind
-    build_segments' staging_path election until its 2-vs-8 scaling is
-    measured (the extra Arrow crossing is the known non-scaling
-    mechanism)."""
+    compresses the staging parquet 748 -> 469 MB. The round-6 2-vs-8
+    core A/B closed the open scaling question (faster in absolute terms
+    at every core count measured — see build_segments), so this is now
+    build_segments' DEFAULT staging path; SPARK_GRAFT_STAGING=agg
+    restores the declarative form."""
     return _doc_local_postings(tok_df, with_positions=False)
 
 

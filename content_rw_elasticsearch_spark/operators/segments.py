@@ -557,12 +557,23 @@ def build_segments(
         # adds an Arrow crossing to the stage that today CPU-scales at
         # ~1.0 — SPARK_GRAFT_STAGING=doclocal opts in until its 2-vs-8
         # scaling is measured (see (m)).
+        # Doc-local staging is the round-6 default: the declarative
+        # explode+groupBy form pays a full exchange of token rows plus a
+        # ~|postings|-group hash agg for grouping that is provably
+        # doc-local. Closing round 5's open caveat, the same-window A/B
+        # (OPTIMIZATION_r06.md) measured doclocal faster at EVERY core
+        # count — 300k synth docs: 32.2 vs 41.9 s at 2 cores, 22.6 vs
+        # 30.8 s at 8; sf1.0 local[32]: 7.7 vs 13.9 s median-of-3 —
+        # so the absolute win holds from 2 cores up even though the
+        # staging stage's own CPU-scaling ratio is lower (it starts from
+        # a much faster base). SPARK_GRAFT_STAGING=agg restores the old
+        # declarative path (A/B knob).
         if with_positions:
             post = P.build_positional_postings_vb(tok)
-        elif os.environ.get("SPARK_GRAFT_STAGING") == "doclocal":
-            post = P.build_postings_doclocal(tok)
-        else:
+        elif os.environ.get("SPARK_GRAFT_STAGING") == "agg":
             post = P.build_postings(tok)
+        else:
+            post = P.build_postings_doclocal(tok)
         post = post.withColumn(
             "bucket",
             F.when(F.col("term").endswith("\x00"), F.lit(-1)).otherwise(

@@ -1177,20 +1177,21 @@ class SegmentIndex:
         # Exactness: highlight_topk joins positions to the k hit ids, so
         # sibling docs sharing a kept block drop out there.
         segs = self._segments(sorted(set(meta["term"].unique())))
+        hit_ids = None
         if (k <= self.nb_max // 4
                 and self.n_docs >= self.pos_classes_min_docs):
             rows = topk.collect()
             if not rows:
                 return empty
-            topk = self.spark.createDataFrame(
-                [(int(r["doc_id"]), float(r["score"])) for r in rows],
-                "doc_id long, score double")
-            classes = [
-                int(r["c"]) for r in
-                topk.select(F.pmod(F.xxhash64(F.col("doc_id")),
-                                   F.lit(self.nb_max)).cast("int")
-                            .alias("c")).distinct().collect()
-            ]
+            hit_ids = [int(r["doc_id"]) for r in rows]
+            topk = self._rows_df(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows])
+            # salt classes of the <= k hits, derived driver-side with the
+            # parity-pinned hash (was a distinct+collect Spark job over a
+            # local relation — pure round-trip overhead)
+            from ..functions.hashing import xxh64_long
+            classes = sorted(
+                {pmod(xxh64_long(d), self.nb_max) for d in hit_ids})
             segs = self._filter_keys(segs,
                                      self._keys_for_classes(meta, classes))
         par = self.spark.sparkContext.defaultParallelism
@@ -1211,7 +1212,7 @@ class SegmentIndex:
 
         return highlight_topk(
             topk, decoded.select("term", "doc_id", "pos"), docs, terms,
-            text_col, doc_col, window,
+            text_col, doc_col, window, hit_ids=hit_ids,
         )
 
     def more_like_this(self, doc_id: int, docs: DataFrame,
@@ -1799,14 +1800,21 @@ class SegmentIndex:
         empty = self._empty_df("term string, fg long, bg long, score double")
         if n_fg == 0:
             return empty
+        # Join the match set into docs BEFORE the analyzer/explode
+        # (VERDICT r5 #1): Catalyst never pushes a join below a Generate,
+        # so the previous analyze-then-join form tokenized the ENTIRE
+        # corpus and only then discarded non-matches — a full-corpus
+        # scan+tokenize per aggregation at scale. With the join first,
+        # only the matched documents are re-analyzed.
+        matched = docs.select(
+            F.col(doc_col).alias("doc_id"), F.col(text_col).alias("_fg_text")
+        ).join(ids, "doc_id")
         fg = (
-            docs.select(
-                F.col(doc_col).alias("doc_id"),
+            matched.select(
                 F.explode(F.array_distinct(
-                    analyzer_column(F.col(text_col), self.analyzer)
+                    analyzer_column(F.col("_fg_text"), self.analyzer)
                 )).alias("term"),
             )
-            .join(ids, "doc_id")
             .groupBy("term").agg(F.count(F.lit(1)).alias("fg"))
         )
         bg = (

@@ -47,8 +47,12 @@ def stream_percolate(
     results with read_alerts()."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # deterministic=False: the per-batch sink needs no output order
+        # (read_alerts orders at read time), so the percolate plan skips
+        # its corpus-sized global sort exchange
         hits = percolate(batch_df, queries, analyzer=analyzer,
-                         text_col=text_col, doc_col=doc_col)
+                         text_col=text_col, doc_col=doc_col,
+                         deterministic=False)
         (hits.withColumn("batch_id", F.lit(int(batch_id)))
          .write.mode("overwrite")
          .parquet(pjoin(out_dir, f"batch_{int(batch_id)}")))
@@ -63,7 +67,15 @@ def stream_percolate(
 
 def read_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
     """All alert rows written so far: (batch_id, doc_id, query_id),
-    deterministic order."""
+    deterministic order. A drained stream with ZERO batches (empty
+    source) yields an explicit empty frame instead of the
+    AnalysisException a bare glob read throws (ADVICE r5)."""
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(out_dir, "batch_*")):
+        return spark.createDataFrame(
+            [], "batch_id long, doc_id long, query_id long")
     return (
         spark.read.parquet(pjoin(out_dir, "batch_*"))
         .select("batch_id", "doc_id", "query_id")

@@ -118,7 +118,13 @@ def main() -> None:
     ap.add_argument("--relations", default=None,
                     help="parquet of (doc_id, parent_id) for --join-type")
     ap.add_argument("--score-mode", dest="score_mode", default="max",
-                    choices=["max", "sum", "avg", "none"])
+                    choices=["max", "sum", "avg", "none"],
+                    help="has_child child-score fold (ES score_mode)")
+    ap.add_argument("--parent-score", dest="parent_score",
+                    action="store_true",
+                    help="has_parent: propagate the parent's BM25 to its "
+                         "children (default off — ES's and "
+                         "SegmentIndex.has_parent's default)")
     ap.add_argument("--constant-score", dest="constant_score", type=float,
                     default=None, metavar="BOOST",
                     help="constant_score: every --query match scores BOOST")
@@ -241,8 +247,11 @@ def main() -> None:
             df = idx.has_child(args.query, rel, k=args.k,
                                score_mode=args.score_mode, mode=args.mode)
         else:
+            # has_parent scores only on explicit opt-in (--parent-score):
+            # --score-mode is a has_child-only knob, and overloading it
+            # inverted the ES / has_parent default (ADVICE r5)
             df = idx.has_parent(args.query, rel, k=args.k,
-                                score=args.score_mode != "none",
+                                score=args.parent_score,
                                 mode=args.mode)
     elif args.constant_score is not None:
         df = idx.constant_score(args.query, boost=args.constant_score,

@@ -51,8 +51,13 @@ def test_prefix_scan_pushes_startswith(seg):
 def test_search_scan_prunes_binary_columns(seg):
     """Non-positional search never reads pos_vb; the decode scan reads
     exactly the posting columns it decodes (column pruning is what makes
-    the metadata phase cheap at 10^12 files)."""
-    df = seg.search("hash join", k=10, mode="AND", prune=False)
+    the metadata phase cheap at 10^12 files). Pins the DISTRIBUTED plan —
+    the one that runs at scale — so the driver fast path is disabled."""
+    seg.driver_max_postings = 0
+    try:
+        df = seg.search("hash join", k=10, mode="AND", prune=False)
+    finally:
+        seg.driver_max_postings = 2_000_000
     plan = _executed(df)
     assert "pos_vb" not in plan
     # ReadSchema carries the vb columns only for the decode scan
@@ -193,3 +198,25 @@ def test_function_score_boost_scan_is_pruned(spark, seg):
                   if "ReadSchema" in ln and "n_chars" in ln]
     assert read_lines and all("text" not in ln for ln in read_lines), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_highlight_hit_ids_push_to_docs_scan(spark, seg):
+    """highlight_topk with hit_ids: the docs scan carries a pushed
+    doc_id IN filter, and tokenization sits ABOVE the broadcast join to
+    the k best windows (VERDICT r5 #2 — the old shape split every corpus
+    row's text below the join)."""
+    from content_rw_elasticsearch_spark.operators.highlight import (
+        highlight_topk,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    topk = spark.createDataFrame([(1, 1.0), (2, 0.5)],
+                                 "doc_id long, score double")
+    pos = spark.createDataFrame([("hash", 1, 0), ("join", 2, 3)],
+                                "term string, doc_id long, pos long")
+    spark.catalog.clearCache()
+    df = highlight_topk(topk, pos, docs, ["hash", "join"], "text",
+                        "doc_id", hit_ids=[1, 2])
+    plan = _executed(df)
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "doc_id" in ln]
+    assert any("In(doc_id" in ln for ln in pushed), plan
