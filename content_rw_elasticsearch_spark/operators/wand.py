@@ -469,15 +469,17 @@ class SegmentIndex:
         return pdf
 
     def _blocks_local(self, terms: list[str],
-                      keys: "set[tuple[str, int, int]] | None" = None
-                      ) -> pd.DataFrame:
+                      keys: "set[tuple[str, int, int]] | None" = None,
+                      cols: "list[str] | None" = None) -> pd.DataFrame:
         """Base segment rows WITH binary columns via pyarrow, filtered to
         the query terms (and, for the pruned plan, to the (term, salt)
         block keys) — the fast-path twin of _segments/_filter_keys."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        cols = ["term", "salt", "count", "docs_vb", "tfs_vb", "dlens_vb"]
+        if cols is None:
+            cols = ["term", "salt", "count", "docs_vb", "tfs_vb",
+                    "dlens_vb"]
         by_term: "dict[str, list[int]] | None" = None
         if keys is not None:
             by_term = {}
@@ -607,21 +609,41 @@ class SegmentIndex:
         return [(d, -s) for s, d in cand]
 
     def _rows_df(self, rows: list[tuple[int, float]]) -> DataFrame:
-        """(doc_id, score) rows → DataFrame as a JVM LocalRelation (SQL
-        VALUES literal). createDataFrame(rows) builds a python-RDD-backed
-        frame whose every collect() runs a full python job (~0.2-0.35 s
-        measured); a LocalRelation collects driver-side with NO job. The
-        double goes through CAST('<repr>' AS DOUBLE) so the binary value
-        round-trips exactly (shortest-repr parse, same contract as
+        return self._values_df(rows, "doc_id long, score double")
+
+    def _values_df(self, rows: list[tuple], schema: str) -> DataFrame:
+        """rows → DataFrame as a JVM LocalRelation (SQL VALUES literal).
+        createDataFrame(rows) builds a python-RDD-backed frame whose
+        every collect() runs a full python job (~0.2-0.35 s measured); a
+        LocalRelation collects driver-side with NO job. Doubles go
+        through CAST('<repr>' AS DOUBLE) so the binary value round-trips
+        exactly (shortest-repr parse, same contract as
         similarity._round_half_up)."""
         if not rows:
-            return self._empty_df("doc_id long, score double")
+            return self._empty_df(schema)
+        cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+        if len(rows) > 2048:
+            # a VALUES literal this big costs more to PARSE than the
+            # one python job an Arrow-backed frame pays on collect
+            # (measured: 38k rows ≈ 1.5 s parse vs ~0.4 s Arrow) — and
+            # result sets are bounded by the fast-path volume caps
+            pdf = pd.DataFrame(
+                {n: [r[i] for r in rows] for i, (n, _t) in enumerate(cols)})
+            return self.spark.createDataFrame(pdf, schema)
+
+        def fmt(v, t):
+            t = t.strip()
+            if t == "double":
+                return f"CAST('{float(v)!r}' AS DOUBLE)"
+            return f"CAST({int(v)} AS {self._SQL_TYPES[t]})"
+
         vals = ", ".join(
-            f"(CAST({int(d)} AS BIGINT), CAST('{float(s)!r}' AS DOUBLE))"
-            for d, s in rows
+            "(" + ", ".join(fmt(v, t) for v, (_n, t) in zip(row, cols))
+            + ")" for row in rows
         )
+        names = ", ".join(n for n, _t in cols)
         return self.spark.sql(
-            f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
+            f"SELECT * FROM VALUES {vals} AS t({names})")
 
     _SQL_TYPES = {"long": "BIGINT", "bigint": "BIGINT", "int": "INT",
                   "double": "DOUBLE", "string": "STRING"}
@@ -931,6 +953,72 @@ class SegmentIndex:
             if (t, int(g), int(s)) in keys
         ))
 
+    def _phrase_local(self, terms: list[str],
+                      keys: "set[tuple[str, int, int]]",
+                      within_classes: "list[int] | None"
+                      ) -> "list[tuple[int, int]] | None":
+        """Driver twin of the slop-0 phrase chain: decode the phrase
+        terms' positions from the AND-feasible blocks via pyarrow +
+        codec, then count adjacency tuples with sorted-key set
+        intersections — (doc_id << log2(M)) | pos keys, one np.isin per
+        adjacent term. Exactly the equi-join chain's semantics (the
+        distributed plan re-executes the python decode subtree once per
+        join branch; here positions decode ONCE). Returns None when the
+        packing would overflow or the decoded volume exceeds the bound —
+        the caller falls back to the distributed plan. Parity pinned by
+        tests/test_fast_path.py."""
+        uniq_terms = sorted(set(terms))
+        blocks = self._blocks_local(
+            uniq_terms, keys,
+            cols=["term", "docs_vb", "tfs_vb", "pos_vb"])
+        per_term: dict[str, list] = {t: [] for t in uniq_terms}
+        total_pos = 0
+        for i in range(len(blocks)):
+            pvb = blocks["pos_vb"].iat[i]
+            if not pvb:
+                return None  # positions missing on disk: distributed path
+            docs = codec.delta_decode(
+                blocks["docs_vb"].iat[i]).astype(np.int64)
+            tfs = codec.varbyte_decode(blocks["tfs_vb"].iat[i])
+            total_pos += int(tfs.sum())
+            if total_pos > 4 * self.driver_max_postings:
+                return None  # tf-skewed volume: fall back
+            flat = codec.positions_decode(pvb, tfs).astype(np.int64)
+            drep = np.repeat(docs, tfs.astype(np.int64))
+            per_term[blocks["term"].iat[i]].append((drep, flat))
+        arrs = {}
+        max_pos, max_doc = 0, 0
+        for t in uniq_terms:
+            if per_term[t]:
+                d = np.concatenate([x[0] for x in per_term[t]])
+                p = np.concatenate([x[1] for x in per_term[t]])
+            else:
+                d, p = np.empty(0, np.int64), np.empty(0, np.int64)
+            if within_classes is not None and d.size:
+                cls = xxh64_long_np(d) % np.int64(self.nb_max)
+                m = np.isin(cls, np.asarray(sorted(within_classes),
+                                            dtype=np.int64))
+                d, p = d[m], p[m]
+            if d.size == 0:
+                return []  # a phrase term has no surviving positions
+            arrs[t] = (d, p)
+            max_pos = max(max_pos, int(p.max()))
+            max_doc = max(max_doc, abs(int(d.min())), abs(int(d.max())))
+        M = max_pos + len(terms) + 2
+        if max_doc > (1 << 62) // M:
+            return None  # key packing overflow: distributed path
+        keysets = {t: np.sort(arrs[t][0] * M + arrs[t][1])
+                   for t in set(terms)}
+        S = keysets[terms[0]]
+        for i, t in enumerate(terms[1:], start=1):
+            if S.size == 0:
+                return []
+            S = S[np.isin(S + i, keysets[t], assume_unique=True)]
+        if S.size == 0:
+            return []
+        docs_u, counts = np.unique(S // M, return_counts=True)
+        return [(int(d), int(c)) for d, c in zip(docs_u, counts)]
+
     def phrase_search(self, phrase: str, field: str | None = None,
                       slop: int = 0,
                       within_classes: "list[int] | None" = None
@@ -995,6 +1083,18 @@ class SegmentIndex:
         if not classes:
             return empty
         keys = self._keys_for_classes(meta, classes)
+        # driver fast path (slop-0 only; slop chains and delta/tombstone
+        # state keep the distributed plan): the blocks are bounded by the
+        # AND-feasibility cut, and the distributed join chain re-executes
+        # its python decode subtree once per adjacency branch — measured
+        # 2-8 s for a two-term phrase at sf1.0 vs ~50 ms here.
+        if (self.driver_max_postings > 0 and slop <= 0
+                and self._fast_eligible(None)
+                and self._keys_volume(meta, keys) * 4
+                <= self.driver_max_postings):
+            rows = self._phrase_local(terms, keys, within_classes)
+            if rows is not None:
+                return self._values_df(rows, "doc_id long, phrase_tf long")
         segs = self._filter_keys(self._segments(sorted(set(terms))), keys)
         par = self.spark.sparkContext.defaultParallelism
         decoded = segs.select("term", "gen", "docs_vb", "tfs_vb", "pos_vb") \

@@ -132,3 +132,47 @@ def test_empty_df_schema(seg_idx):
     e = seg_idx._empty_df("doc_id long, score double")
     assert e.collect() == []
     assert e.schema.simpleString() == "struct<doc_id:bigint,score:double>"
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    out = "/tmp/test_fast_path_pos_idx"
+    shutil.rmtree(out, ignore_errors=True)
+    build_segments(docs, out, text_col="text", doc_col="doc_id",
+                   n_buckets=4, target_block=512, nb_max=64,
+                   snapshot_id="fast-path-pos", with_positions=True)
+    yield SegmentIndex.load(spark, out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("phrase", [
+    "hash join", "customer data group", "customer", "zzzabsent join",
+])
+def test_phrase_fast_path_matches_distributed(pos_idx, phrase):
+    def run():
+        return [(r["doc_id"], r["phrase_tf"])
+                for r in pos_idx.phrase_search(phrase).collect()]
+    fast = run()
+    pos_idx.driver_max_postings = 0
+    try:
+        slow = run()
+    finally:
+        pos_idx.driver_max_postings = 2_000_000
+    assert fast == slow
+
+
+def test_phrase_fast_path_within_classes(pos_idx):
+    wc = [1, 5, 9, 33]
+
+    def run():
+        return [(r["doc_id"], r["phrase_tf"])
+                for r in pos_idx.phrase_search("hash join",
+                                               within_classes=wc).collect()]
+    fast = run()
+    pos_idx.driver_max_postings = 0
+    try:
+        slow = run()
+    finally:
+        pos_idx.driver_max_postings = 2_000_000
+    assert fast == slow
