@@ -525,6 +525,19 @@ def build_segments(
     if not fs.exists(staging_manifest):
         t0 = time.time()
         timings: dict[str, float] = {}
+        # Scan-parallelism guard (round 6): a small or compacted corpus
+        # can arrive as fewer splits than cores — the sf1.0 driver input
+        # is ONE 5.7 MB parquet file, i.e. ONE scan task tokenizing all
+        # 50k docs serially while 31 cores idle (measured: staging 3.6 s
+        # -> ~0.9 s with the repartition). Round-robin repartition to
+        # 2x parallelism when the source is under-split; the shuffle
+        # moves only the raw corpus bytes once, and a 100 TB scan has
+        # orders of magnitude more splits than cores so this never
+        # fires there. Deterministic under retry: Spark's
+        # sort-before-repartition (SPARK-23207) stays on.
+        par = spark.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < par:
+            corpus = corpus.repartition(par * 2)
         # SENTINEL-ROW staging (round 5): append one NUL sentinel token
         # per doc AFTER doc_len is computed, so a single pipelined job
         # (tokenize → explode → agg → partitionBy write) yields both the

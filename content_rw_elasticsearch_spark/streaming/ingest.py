@@ -108,34 +108,43 @@ def apply_upserts(
             f"fields {sorted(fields)} do not match the manifest's "
             f"{sorted(m['field_stats'])}"
         )
-    if updates.isEmpty():
-        return None
-    gen = max(_committed_gens(fs, index_dir) + [int(m.get("min_gen", 0))]) + 1
-    t0 = time.time()
-    delta_dir = pjoin(index_dir, "delta", f"gen={gen}")
-    fs.rmtree(delta_dir)  # uncommitted partial batch: rebuild
-
     updates = updates.withColumnRenamed(doc_col, "doc_id")
+    is_deleted = F.col(deleted_col) if deleted_col else F.lit(False)
+    n_upserts: int | None = None
     if ts_col:
+        if updates.isEmpty():
+            return None
         w = Window.partitionBy("doc_id").orderBy(F.desc(ts_col))
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        n_deletes = updates.filter(is_deleted).count()
     else:
+        # ONE aggregate replaces three separate driver jobs (the
+        # isEmpty probe, the duplicate check and the delete count —
+        # each a full ~0.2-0.4 s job round-trip over the same batch;
+        # round-6 job-overhead profiling, bench_extra.py)
         r = updates.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("doc_id").alias("nd"),
+            F.count(F.when(is_deleted, 1)).alias("ndel"),
         ).collect()[0]
+        if int(r["n"]) == 0:
+            return None
         if int(r["n"]) != int(r["nd"]):
             raise ValueError(
                 f"batch has {int(r['n']) - int(r['nd'])} duplicate doc_id rows; "
                 "pass ts_col= to reduce to last-writer-wins or pre-dedupe"
             )
-    is_deleted = F.col(deleted_col) if deleted_col else F.lit(False)
+        n_deletes = int(r["ndel"])
+        n_upserts = int(r["n"]) - n_deletes
+    gen = max(_committed_gens(fs, index_dir) + [int(m.get("min_gen", 0))]) + 1
+    t0 = time.time()
+    delta_dir = pjoin(index_dir, "delta", f"gen={gen}")
+    fs.rmtree(delta_dir)  # uncommitted partial batch: rebuild
     live = updates.filter(~is_deleted)
-    n_deletes = updates.filter(is_deleted).count()
 
     # postings of the new versions → encoded delta segments
     with_pos = bool(m.get("positions", False))
@@ -215,7 +224,8 @@ def apply_upserts(
         "snapshot_id": m.get("snapshot_id", ""),
         "n_docs": int(row["n"]),
         "avgdl": float(row["avgdl"] or 0.0),
-        "n_upserts": int(live.count()),
+        "n_upserts": (n_upserts if n_upserts is not None
+                      else int(live.count())),
         "n_deletes": int(n_deletes),
         "posting_count": posting_count,
         **({"field_stats": field_stats} if field_stats is not None else {}),
