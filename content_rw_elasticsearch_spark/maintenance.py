@@ -49,7 +49,11 @@ def _walk_files(src_fs, src: str, dst: str,
 def _copy_tree(src_fs, dst_fs, src: str, dst: str) -> int:
     """Copy through the storage abstraction; returns files copied.
     Skips in-flight suffixes at every level. Directory creation is
-    serial (cheap metadata); file bytes move through a thread pool."""
+    serial (cheap metadata); file bytes move through a thread pool when
+    there are enough of them to amortize the pool (a tiny local
+    snapshot measured FASTER serial — 0.026 vs 0.075 s for 114 files —
+    because pool setup dominates; the pool's win is per-file latency
+    overlap, which only exists with many files or a remote store)."""
     from concurrent.futures import ThreadPoolExecutor
 
     dirs: list[str] = []
@@ -62,8 +66,12 @@ def _copy_tree(src_fs, dst_fs, src: str, dst: str) -> int:
         s, d = pair
         dst_fs.write_bytes(d, src_fs.read_bytes(s))
 
-    with ThreadPoolExecutor(max_workers=_COPY_THREADS) as pool:
-        list(pool.map(cp, files))
+    if len(files) <= 2 * _COPY_THREADS:
+        for pair in files:
+            cp(pair)
+    else:
+        with ThreadPoolExecutor(max_workers=_COPY_THREADS) as pool:
+            list(pool.map(cp, files))
     return len(files)
 
 
