@@ -1088,9 +1088,14 @@ class SegmentIndex:
         # AND-feasibility cut, and the distributed join chain re-executes
         # its python decode subtree once per adjacency branch — measured
         # 2-8 s for a two-term phrase at sf1.0 vs ~50 ms here.
+        # admission on POSTING count (known from metadata); the decoder
+        # itself re-checks the actual POSITION volume (sum tf, unknown
+        # here) against 4x the bound and bails to the distributed plan
+        # on tf-skewed data — so admission and runtime guard agree at
+        # avg tf <= 4, and heavier docs degrade to a safe fallback
         if (self.driver_max_postings > 0 and slop <= 0
                 and self._fast_eligible(None)
-                and self._keys_volume(meta, keys) * 4
+                and self._keys_volume(meta, keys)
                 <= self.driver_max_postings):
             rows = self._phrase_local(terms, keys, within_classes)
             if rows is not None:
