@@ -159,8 +159,12 @@ def rollover_ingest(
     like ES, writes through a rollover alias hit the write index; a
     delete for a doc living in an older shard must target that shard
     directly (doc ids are disjoint per shard, so an active-shard
-    tombstone cannot shadow an older shard's doc). ``max_docs`` is the
-    ES max_docs rollover condition."""
+    tombstone cannot shadow an older shard's doc). One exception keeps
+    a ROLLING batch equivalent to its non-rollover outcome: ids the
+    batch upserts or deletes that live in the PREVIOUS active shard are
+    tombstoned there before the new shard is built (a rollover must not
+    change what the batch means). ``max_docs`` is the ES max_docs
+    rollover condition."""
     import json as _json
 
     from .operators.segments import build_segments
@@ -190,16 +194,29 @@ def rollover_ingest(
     live = batch
     if deleted_col is not None and deleted_col in batch.columns:
         live = batch.filter(~batch[deleted_col])
-        # a mixed upsert+delete batch that happens to roll over must not
-        # lose its deletes (ADVICE r5): apply the delete rows to the
-        # PREVIOUS active shard — the only shard that can hold the
-        # targeted docs, since ids are disjoint per shard and the new
-        # shard is built from the survivors alone
-        if shards:
-            dels = batch.filter(batch[deleted_col])
-            if dels.limit(1).count() > 0:
-                apply_upserts(spark, pjoin(alias_dir, shards[-1]), dels,
-                              text_col, doc_col, deleted_col)
+    if shards:
+        # a rolling batch must have the SAME effect on the previous
+        # active shard the non-rollover path would have had (ADVICE r5
+        # flagged lost deletes; an upsert of a doc living there would
+        # likewise leave a stale live copy and break search_sharded's
+        # unique-id contract): tombstone every batch id the previous
+        # shard actually holds. Gated on a semi-join against its docs
+        # table so the common append-only stream (all-fresh ids) writes
+        # nothing. Docs in older-than-active shards remain the caller's
+        # responsibility, exactly as on the non-rollover path.
+        prev = pjoin(alias_dir, shards[-1])
+        ids = batch.select(
+            batch[doc_col].alias("doc_id")).distinct()
+        prev_docs = spark.read.parquet(pjoin(prev, "docs")) \
+            .select("doc_id").distinct()
+        stale = prev_docs.join(ids, "doc_id", "left_semi")
+        if stale.limit(1).count() > 0:
+            from pyspark.sql import functions as F
+
+            marks = (stale.withColumn(text_col, F.lit(""))
+                     .withColumn("_rollover_del", F.lit(True)))
+            apply_upserts(spark, prev, marks, text_col, "doc_id",
+                          "_rollover_del")
     build_segments(live, new, text_col=text_col, doc_col=doc_col,
                    **build_opts)
     return [pjoin(alias_dir, s) for s in shards] + [new]

@@ -409,7 +409,8 @@ class SegmentIndex:
         stores keep the Spark path. Equivalence is pinned by
         tests/test_fast_path.py."""
         d = self._local_seg_dir()
-        if d is not None and not self.generations:
+        if (d is not None and not self.generations
+                and self.driver_max_postings > 0):
             return self._meta_local(d, terms)
         return (
             self._segments(terms)

@@ -69,11 +69,15 @@ def read_alerts(spark: SparkSession, out_dir: str) -> DataFrame:
     """All alert rows written so far: (batch_id, doc_id, query_id),
     deterministic order. A drained stream with ZERO batches (empty
     source) yields an explicit empty frame instead of the
-    AnalysisException a bare glob read throws (ADVICE r5)."""
-    import glob
-    import os
+    AnalysisException a bare glob read throws (ADVICE r5). The probe
+    goes through the storage abstraction so URI stores (hdfs://,
+    s3a://) are checked on the RIGHT filesystem, not the driver's
+    local disk."""
+    from .. import storage
 
-    if not glob.glob(os.path.join(out_dir, "batch_*")):
+    fs = storage.fs_for(out_dir, spark)
+    if not fs.exists(out_dir) or not any(
+            n.startswith("batch_") for n in fs.listdir(out_dir)):
         return spark.createDataFrame(
             [], "batch_id long, doc_id long, query_id long")
     return (

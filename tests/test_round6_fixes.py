@@ -40,6 +40,34 @@ def test_rollover_applies_deletes_on_rollover_boundary(spark, tmp_path):
     assert 1 in hits
 
 
+def test_rollover_upsert_replaces_across_boundary(spark, tmp_path):
+    """An upsert of a doc living in the previous active shard must not
+    leave a stale duplicate there when the batch rolls over — the
+    rolling batch has the same effect the non-rollover path would
+    (code-review finding on the ADVICE r5 delete fix)."""
+    alias = str(tmp_path / "alias2")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha gamma")],
+        "doc_id long, content string")
+    rollover_ingest(spark, alias, b1, max_docs=3, n_buckets=2,
+                    target_block=64, nb_max=4)
+    # batch 2 rolls over AND overwrites doc 2 (drops 'beta' from it)
+    b2 = spark.createDataFrame(
+        [(2, "delta omega"), (10, "alpha delta")],
+        "doc_id long, content string")
+    shards = rollover_ingest(spark, alias, b2, max_docs=3, n_buckets=2,
+                             target_block=64, nb_max=4)
+    assert len(shards) == 2
+    idxs = load_alias(spark, alias)
+    beta = [(r["doc_id"], r["score"]) for r in search_sharded(
+        idxs, "beta", k=10, mode="OR").collect()]
+    # the old copy of doc 2 (which contained 'beta') is tombstoned
+    assert 2 not in {d for d, _ in beta}
+    omega = [r["doc_id"] for r in search_sharded(
+        idxs, "omega", k=10, mode="OR").collect()]
+    assert omega.count(2) == 1    # exactly one live copy, the new one
+
+
 def test_percolate_deterministic_flag_same_hits(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "gamma"), (3, "alpha gamma")],
