@@ -600,7 +600,9 @@ def build_segments(
         )
         fs.rmtree(staging_dir)  # uncommitted partial write: rebuild
         t = time.time()
+        spark.sparkContext.setJobDescription("build: staging postings")
         post.write.partitionBy("bucket").parquet(staging_dir)
+        spark.sparkContext.setJobDescription(None)
         timings["staging_write"] = round(time.time() - t, 3)
 
         # derived jobs: vocab-sized stats from the real buckets, docs +
@@ -609,6 +611,8 @@ def build_segments(
         # stage tails overlap instead of paying sequential job latencies
         def job_stats():
             t = time.time()
+            # job descriptions are thread-local — label inside the pool thread
+            spark.sparkContext.setJobDescription("build: term stats + block plan")
             staged = spark.read.parquet(staging_dir).filter(F.col("bucket") >= 0)
             plan_block_counts(
                 P.term_stats(staged), target_block, nb_max
@@ -645,6 +649,7 @@ def build_segments(
 
         def job_docs() -> float:
             t = time.time()
+            spark.sparkContext.setJobDescription("build: docs table")
             # docs table: exact N/avgdl bookkeeping, updated by deltas
             # (gen 0). Fielded builds keep the field column — one row per
             # (doc, field) — so ingest can maintain PER-FIELD stats.
@@ -658,6 +663,7 @@ def build_segments(
 
         def job_cstats():
             t = time.time()
+            spark.sparkContext.setJobDescription("build: corpus stats")
             d = sentinel_rows()
             row = d.agg(
                 F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
@@ -853,12 +859,14 @@ def build_segments(
         # whole upstream encode — measured 3x stage-2 wall-clock); the
         # (term, salt) sort keeps term order inside each bucket file for
         # parquet row-group min/max pruning.
+        spark.sparkContext.setJobDescription("build: encode segments")
         (
             segs.repartition(len(missing), "bucket")
             .sortWithinPartitions("bucket", "term", "salt")
             .write.partitionBy("bucket").mode("append")
             .parquet(pjoin(out_dir, "segments"))
         )
+        spark.sparkContext.setJobDescription(None)
         encode_secs = round(time.time() - t2, 3)
         if use_spill:
             # derived data — the segments are committed, so clean up in
