@@ -169,56 +169,97 @@ def apply_upserts(
     ).withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.col("nb").cast("long")).cast("int")
     )
-    segs = encode_segments(salted, with_pos, partitions=2)
-    segs.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")) \
-        .coalesce(2).sortWithinPartitions("bucket", "term", "salt") \
-        .write.partitionBy("bucket").parquet(pjoin(delta_dir, "segments"))
+    # Three INDEPENDENT writes (delta segments, tombstones, docs-table
+    # merge) overlap via driver threads (guide §2.6: concurrent jobs
+    # back-fill each other's stage tails — job descriptions are
+    # thread-local, so each is labelled). Crash safety is unchanged: a
+    # retry rmtree-s the whole uncommitted delta dir first, the docs
+    # swap stays crash-safe, and the manifest commit remains the LAST,
+    # strictly-sequential step.
+    def job_segments():
+        spark.sparkContext.setJobDescription("ingest: delta segments")
+        segs = encode_segments(salted, with_pos, partitions=2)
+        segs.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(m["n_buckets"])).cast("int")) \
+            .coalesce(2).sortWithinPartitions("bucket", "term", "salt") \
+            .write.partitionBy("bucket").parquet(pjoin(delta_dir, "segments"))
 
-    # tombstones: EVERY updated doc kills its older generations
-    updates.select("doc_id").distinct().write.parquet(
-        pjoin(delta_dir, "tombstones")
-    )
+    def job_tombstones():
+        # tombstones: EVERY updated doc kills its older generations
+        spark.sparkContext.setJobDescription("ingest: tombstones")
+        updates.select("doc_id").distinct().write.parquet(
+            pjoin(delta_dir, "tombstones")
+        )
 
     # docs table: exact N/avgdl (crash-safe swap; Iceberg MERGE analog)
     docs_path = pjoin(index_dir, "docs")
-    storage.restore_swap(fs, docs_path)
-    old = spark.read.parquet(docs_path)
-    upd_ids = updates.select("doc_id").distinct()
     doc_cols = ["doc_id"] + (["field"] if fielded else []) + ["doc_len"]
-    new_rows = tok.select(*doc_cols).withColumn("gen", F.lit(gen)) \
-        .withColumn("deleted", F.lit(False))
-    # the anti-join is on doc_id alone even when fielded: an upsert
-    # replaces the whole document, so every (doc, field) row dies
-    merged = old.join(upd_ids, "doc_id", "left_anti").unionByName(new_rows)
-    tmp = docs_path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    storage.swap_dir(fs, tmp, docs_path)
 
-    row = spark.read.parquet(docs_path).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    field_stats = None
-    if fielded:
-        # zero-fill from the manifest's field names first: a batch that
-        # deletes a field's last live documents must write that field as
-        # n_docs == 0 — dropping it (or writing {}) would make readers
-        # fall back to stale base-manifest norms (ADVICE r4)
-        field_stats = {
-            f: {"n_docs": 0, "avgdl": 0.0} for f in m["field_stats"]
-        }
-        for r in spark.read.parquet(docs_path).groupBy("field").agg(
+    def job_docs():
+        spark.sparkContext.setJobDescription("ingest: docs merge")
+        storage.restore_swap(fs, docs_path)
+        old = spark.read.parquet(docs_path)
+        upd_ids = updates.select("doc_id").distinct()
+        new_rows = tok.select(*doc_cols).withColumn("gen", F.lit(gen)) \
+            .withColumn("deleted", F.lit(False))
+        # the anti-join is on doc_id alone even when fielded: an upsert
+        # replaces the whole document, so every (doc, field) row dies
+        merged = old.join(upd_ids, "doc_id", "left_anti") \
+            .unionByName(new_rows)
+        tmp = docs_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        storage.swap_dir(fs, tmp, docs_path)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f_ in [pool.submit(job_segments), pool.submit(job_tombstones),
+                   pool.submit(job_docs)]:
+            f_.result()
+
+    # follow-up aggregates (docs stats need the merged docs table; the
+    # posting count needs the written segments) — independent of each
+    # other, so they overlap too
+    def job_doc_stats():
+        spark.sparkContext.setJobDescription("ingest: docs stats")
+        row = spark.read.parquet(docs_path).agg(
             F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect():
-            field_stats[r["field"]] = {
-                "n_docs": int(r["n"]), "avgdl": float(r["avgdl"] or 0.0)
+        ).collect()[0]
+        field_stats = None
+        if fielded:
+            # zero-fill from the manifest's field names first: a batch
+            # that deletes a field's last live documents must write that
+            # field as n_docs == 0 — dropping it (or writing {}) would
+            # make readers fall back to stale base-manifest norms
+            # (ADVICE r4)
+            field_stats = {
+                f: {"n_docs": 0, "avgdl": 0.0} for f in m["field_stats"]
             }
-    from ..operators.segments import SEGMENT_READ_SCHEMA
+            for r in spark.read.parquet(docs_path).groupBy("field").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+            ).collect():
+                field_stats[r["field"]] = {
+                    "n_docs": int(r["n"]), "avgdl": float(r["avgdl"] or 0.0)
+                }
+        return row, field_stats
 
-    posting_count = int(
-        spark.read.schema(SEGMENT_READ_SCHEMA)
-        .parquet(pjoin(delta_dir, "segments"))
-        .agg(F.sum("count")).collect()[0][0] or 0
-    )
+    def job_posting_count():
+        from ..operators.segments import SEGMENT_READ_SCHEMA
+
+        spark.sparkContext.setJobDescription("ingest: posting count")
+        return int(
+            spark.read.schema(SEGMENT_READ_SCHEMA)
+            .parquet(pjoin(delta_dir, "segments"))
+            .agg(F.sum("count")).collect()[0][0] or 0
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(job_doc_stats)
+        f_pc = pool.submit(job_posting_count)
+        row, field_stats = f_stats.result()
+        posting_count = f_pc.result()
     manifest = {
         "gen": gen,
         "snapshot_id": m.get("snapshot_id", ""),
