@@ -371,13 +371,26 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
     new_segs.coalesce(4).sortWithinPartitions("bucket", "term", "salt") \
         .write.partitionBy("bucket").mode("overwrite").parquet(pjoin(index_dir, new_seg_dir))
 
-    row = spark.read.parquet(pjoin(index_dir, "docs")).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    pc = int(
-        spark.read.parquet(pjoin(index_dir, new_seg_dir))
-        .agg(F.sum("count")).collect()[0][0] or 0
-    )
+    # independent scalar aggregates over different sources — overlap
+    # them (same driver-thread back-fill as apply_upserts / stage 1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def agg_docs():
+        spark.sparkContext.setJobDescription("fold: docs stats")
+        return spark.read.parquet(pjoin(index_dir, "docs")).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+
+    def agg_pc():
+        spark.sparkContext.setJobDescription("fold: posting count")
+        return int(
+            spark.read.parquet(pjoin(index_dir, new_seg_dir))
+            .agg(F.sum("count")).collect()[0][0] or 0
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_row, f_pc = pool.submit(agg_docs), pool.submit(agg_pc)
+        row, pc = f_row.result(), f_pc.result()
 
     folded_gens = idx.generations
     m.update(
@@ -398,14 +411,28 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
         m["field_stats"] = fstats
     # THE commit: one atomic manifest write flips base + retires deltas
     storage.write_json_atomic(fs, pjoin(index_dir, "index.json"), m)
+
     # best-effort GC — stale leftovers are ignored by readers (min_gen /
-    # seg_dir pointers) and removed by the next fold if this crashes
-    fs.rmtree(pjoin(index_dir, old_seg_dir))
-    fs.rmtree(pjoin(index_dir, old_stats))
+    # seg_dir pointers) and removed by the next fold if this crashes.
+    # The MANIFEST deletions stay synchronous: a follow-up load()'s
+    # listdir-then-read would race a background delete into a
+    # FileNotFoundError (they are tiny files — removing them is cheap).
+    # Only the big directory trees move to a background thread, so the
+    # driver-serial rmtree tail never sits on the fold's critical path
+    # (same pattern as the spill-dir cleanup in build_segments); once
+    # the manifests are gone no reader can reach those dirs.
     for name in fs.listdir(index_dir):
         if name.startswith("delta_manifest_") and name.endswith(".json"):
             fs.rmtree(pjoin(index_dir, name))
-    fs.rmtree(pjoin(index_dir, "delta"))
+
+    def _gc():
+        fs.rmtree(pjoin(index_dir, old_seg_dir))
+        fs.rmtree(pjoin(index_dir, old_stats))
+        fs.rmtree(pjoin(index_dir, "delta"))
+
+    import threading
+
+    threading.Thread(target=_gc, daemon=True).start()
     return m
 
 
