@@ -432,7 +432,12 @@ def fold_deltas(spark: SparkSession, index_dir: str) -> dict:
 
     import threading
 
-    threading.Thread(target=_gc, daemon=True).start()
+    # non-daemon: callers never wait on it, but interpreter exit does —
+    # so a process that folds-then-exits cannot truncate the removal
+    # half-way through a tree (a half-removed orphan is still safe, the
+    # next fold re-GCs; completing is just tidier and keeps test
+    # teardown from ever racing a live rmtree)
+    threading.Thread(target=_gc, daemon=False).start()
     return m
 
 
